@@ -1,0 +1,166 @@
+"""SparseGrid: the static-shape sparse voxel tensor for TPU.
+
+Replaces MinkowskiEngine's dynamic ``SparseTensor`` (reference:
+``evaluation.py:215-218``, ``model/resunet.py``) with a padded, XLA-static
+layout:
+
+* ``coords``  int32 ``[N, 3]`` voxel coordinates in units of the stride-1
+  voxel grid (so a stride-8 grid holds multiples of 8, ME convention),
+* ``batch``   int32 ``[N]`` sample index within the collated batch,
+* ``feats``   float  ``[N, C]`` per-voxel features,
+* ``valid``   bool ``[N]`` — padding rows are False.
+
+Padding rows carry sentinel coordinates (``SENTINEL``) that never match a
+real voxel key, zero features, and ``batch == num_batches`` so that segment
+reductions can park them in a dropped segment.
+
+All coordinate matching is done with a lexicographic multi-key sort
+(``jax.lax.sort`` with ``num_keys``) plus a sort-merge join — no hash
+tables, no dynamic shapes, fully deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sentinel coordinate for padding rows. Large enough that (batch, x, y, z)
+# sorts after every real voxel and never equals a real key.
+SENTINEL = np.int32(2**30)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseGrid:
+    """A batch of sparse voxel grids with a static row capacity."""
+
+    coords: jax.Array  # int32 [N, 3]
+    batch: jax.Array   # int32 [N]
+    feats: jax.Array   # [N, C]
+    valid: jax.Array   # bool [N]
+    stride: int = dataclasses.field(default=1, metadata=dict(static=True))
+    num_batches: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def num_channels(self) -> int:
+        return self.feats.shape[-1]
+
+    def with_feats(self, feats: jax.Array) -> "SparseGrid":
+        return dataclasses.replace(self, feats=feats)
+
+    def keys(self) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """(batch, x, y, z) int32 key tuple; padding rows → sentinel."""
+        b = jnp.where(self.valid, self.batch, SENTINEL)
+        x = jnp.where(self.valid, self.coords[:, 0], SENTINEL)
+        y = jnp.where(self.valid, self.coords[:, 1], SENTINEL)
+        z = jnp.where(self.valid, self.coords[:, 2], SENTINEL)
+        return (b, x, y, z)
+
+
+def lexsort_keys(keys, payloads=()):
+    """Stable lexicographic sort by a tuple of int32 key arrays.
+
+    Returns (sorted_keys, sorted_payloads). Uses ``lax.sort`` multi-key
+    support so the whole sort runs as one fused XLA op.
+    """
+    operands = tuple(keys) + tuple(payloads)
+    out = jax.lax.sort(operands, num_keys=len(keys), is_stable=True)
+    return out[: len(keys)], out[len(keys):]
+
+
+def lookup_sorted(table_keys, query_keys, table_capacity: int):
+    """Sort-merge join: for each query key, the index of the matching table row.
+
+    ``table_keys`` / ``query_keys`` are tuples of int32 arrays (same arity).
+    Returns int32 ``[M]`` with values in ``[0, N)`` for hits and ``N`` (the
+    zero-row index) for misses.
+
+    This is the TPU-native replacement for MinkowskiEngine's C++ kernel-map
+    hash lookup: concatenate table+query keys, lex-sort once with a
+    table-before-query tiebreaker, propagate the latest table position with a
+    cumulative max, and verify key equality at the candidate.
+    """
+    n = table_keys[0].shape[0]
+    m = query_keys[0].shape[0]
+
+    keys = tuple(
+        jnp.concatenate([tk, qk]) for tk, qk in zip(table_keys, query_keys)
+    )
+    # Tiebreaker: table rows (0) sort before query rows (1) within a key group.
+    flag = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.ones((m,), jnp.int32)]
+    )
+    # Payload: table row index for table entries, query index for queries.
+    payload = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
+    )
+    sorted_all, (s_flag, s_payload) = lexsort_keys(
+        keys + (flag,), (flag, payload)
+    )
+    s_keys = sorted_all[:-1]  # drop the flag key component
+
+    # Latest table-row *position* so far (positions are monotone, so cummax
+    # returns the nearest preceding table row).
+    pos = jnp.arange(n + m, dtype=jnp.int32)
+    table_pos = jnp.where(s_flag == 0, pos, -1)
+    latest_table_pos = jax.lax.cummax(table_pos)
+
+    safe_pos = jnp.maximum(latest_table_pos, 0)
+    cand_row = s_payload[safe_pos]  # table row index of candidate
+    match = latest_table_pos >= 0
+    for k_component in s_keys:
+        match &= k_component[safe_pos] == k_component
+    # Sentinel (padding) rows must never match each other.
+    match &= s_keys[0] != SENTINEL
+    result_sorted = jnp.where(match, cand_row, jnp.int32(table_capacity))
+
+    # Scatter back to query order; non-query rows target index m → dropped.
+    out = jnp.full((m,), table_capacity, dtype=jnp.int32)
+    is_query = s_flag == 1
+    q_idx = jnp.where(is_query, s_payload, jnp.int32(m))
+    out = out.at[q_idx].set(result_sorted, mode="drop")
+    return out
+
+
+def unique_compact(keys, capacity: int):
+    """Deduplicate rows by key, compacting unique rows to the front.
+
+    Returns (perm, is_unique_front) where ``perm`` int32 ``[N]`` permutes the
+    original rows so that one representative (the first occurrence in the
+    original order) of every unique key comes first, and ``is_unique_front``
+    bool ``[N]`` marks which of the permuted slots hold real unique rows.
+
+    Semantics match ``ME.utils.sparse_quantize(return_index=True)`` as used in
+    the reference (``datasets/CategoryDataset.py:183-191``): one row per
+    occupied voxel, first occurrence kept.
+    """
+    n = keys[0].shape[0]
+    order = jnp.arange(n, dtype=jnp.int32)
+    s_keys, (s_order,) = lexsort_keys(keys, (order,))
+
+    # Head of each equal-key run, ignoring runs of sentinel padding.
+    head = jnp.ones((n,), bool)
+    same_as_prev = jnp.ones((n,), bool)
+    for k_component in s_keys:
+        same_as_prev &= k_component == jnp.roll(k_component, 1)
+    head = head.at[1:].set(~same_as_prev[1:])
+    is_sentinel = s_keys[0] == SENTINEL
+    # Within each run, keep the smallest original index (first occurrence):
+    # stable sort already puts the smallest original order first in each run.
+    keep = head & ~is_sentinel
+
+    # Compact kept rows to the front, preserving key-sorted order.
+    front_rank = jnp.where(keep, 0, 1).astype(jnp.int32)
+    _, (perm, kept_sorted) = lexsort_keys(
+        (front_rank, jnp.arange(n, dtype=jnp.int32)),
+        (s_order, keep.astype(jnp.int32)),
+    )
+    return perm, kept_sorted.astype(bool)

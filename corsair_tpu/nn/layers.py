@@ -1,0 +1,143 @@
+"""Functional sparse NN layers over SparseGrid feature arrays.
+
+Every layer is a pure function ``(params, feats, ...) -> feats`` consuming
+the neighbor tables built by ``core.coordmap.CoordinateManager``. The
+sparse convolution is a gather feeding a single MXU einsum — the TPU
+equivalent of MinkowskiEngine's gather-GEMM-scatter kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+EPS_BN = 1e-5  # torch BatchNorm default
+EPS_IN = 1e-5
+
+
+def sparse_conv(params, feats, table):
+    """Table-based sparse conv: ``out[i] = sum_k W[k] @ x[table[k, i]]``.
+
+    ``params['kernel']``: [K, Cin, Cout]; ``feats``: [N_in, Cin];
+    ``table``: [K, N_out] with miss value == N_in (gathers the zero row).
+    Optional ``params['bias']``: [Cout].
+    """
+    kernel = params["kernel"]
+    n_in = feats.shape[0]
+    x_pad = jnp.concatenate(
+        [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0
+    )
+    gathered = x_pad[table]  # [K, N_out, Cin]
+    out = jnp.einsum(
+        "knc,kcd->nd", gathered, kernel,
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in params:
+        out = out + params["bias"]
+    return out
+
+
+def sparse_conv1x1(params, feats):
+    """Pointwise conv (kernel_size=1): a plain matmul."""
+    out = jnp.dot(
+        feats, params["kernel"][0], preferred_element_type=jnp.float32
+    )
+    if "bias" in params:
+        out = out + params["bias"]
+    return out
+
+
+def batch_norm(params, feats, valid, training: bool = False):
+    """BatchNorm over all valid voxels in the batch (ME MinkowskiBatchNorm /
+    torch BatchNorm1d semantics, ``model/common.py:20-26``).
+
+    Eval mode uses running stats; training mode computes masked batch stats.
+    Returns feats (and, when training, the batch stats for the caller to
+    fold into running-stat updates).
+    """
+    if training:
+        w = valid.astype(feats.dtype)[:, None]
+        cnt = jnp.maximum(jnp.sum(w), 1.0)
+        mean = jnp.sum(feats * w, axis=0) / cnt
+        var = jnp.sum(((feats - mean) ** 2) * w, axis=0) / cnt
+    else:
+        mean, var = params["mean"], params["var"]
+    inv = jax.lax.rsqrt(var + EPS_BN)
+    out = (feats - mean) * inv * params["scale"] + params["bias"]
+    if training:
+        return out, (mean, var)
+    return out
+
+
+def instance_norm(params, feats, batch, valid, num_batches: int):
+    """Per-sample normalization over each cloud's voxels
+    (ME MinkowskiInstanceNorm)."""
+    seg = jnp.where(valid, batch, num_batches)
+    w = valid.astype(feats.dtype)[:, None]
+    cnt = jax.ops.segment_sum(
+        w, seg, num_segments=num_batches + 1
+    )  # [B+1, 1]
+    cnt = jnp.maximum(cnt, 1.0)
+    mean = jax.ops.segment_sum(
+        feats * w, seg, num_segments=num_batches + 1
+    ) / cnt
+    centered = feats - mean[seg]
+    var = jax.ops.segment_sum(
+        (centered**2) * w, seg, num_segments=num_batches + 1
+    ) / cnt
+    inv = jax.lax.rsqrt(var + EPS_IN)
+    out = centered * inv[seg]
+    if "scale" in params:
+        out = out * params["scale"] + params["bias"]
+    return out
+
+
+def apply_norm(norm_type: str, params, feats, batch, valid,
+               num_batches: int, training: bool = False):
+    if norm_type == "BN":
+        return batch_norm(params, feats, valid, training=training)
+    elif norm_type == "IN":
+        return instance_norm(params, feats, batch, valid, num_batches)
+    raise ValueError(f"norm type {norm_type} not defined")
+
+
+def relu(feats):
+    return jnp.maximum(feats, 0.0)
+
+
+def segment_max_pool(feats, batch, valid, num_batches: int):
+    """Per-sample max over voxels -> [B, C]. Replaces the python loop in
+    ``model/fc.py:39-46`` with one segment reduction."""
+    seg = jnp.where(valid, batch, num_batches)
+    big_neg = jnp.asarray(-1e30, feats.dtype)
+    masked = jnp.where(valid[:, None], feats, big_neg)
+    pooled = jax.ops.segment_max(
+        masked, seg, num_segments=num_batches + 1
+    )
+    return pooled[:num_batches]
+
+
+def l2_normalize(feats, axis=-1, eps=1e-12):
+    norm = jnp.linalg.norm(feats, axis=axis, keepdims=True)
+    return feats / jnp.maximum(norm, eps)
+
+
+def linear(params, x):
+    return jnp.dot(x, params["weight"], preferred_element_type=jnp.float32) \
+        + params["bias"]
+
+
+def dense_batch_norm(params, x, training: bool = False):
+    """torch nn.BatchNorm1d on dense [B, C] activations (embedding head)."""
+    if training:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+    else:
+        mean, var = params["mean"], params["var"]
+    inv = jax.lax.rsqrt(var + EPS_BN)
+    out = (x - mean) * inv * params["scale"] + params["bias"]
+    if training:
+        return out, (mean, var)
+    return out

@@ -1,0 +1,237 @@
+"""ResUNet2 family: the FCGF-style sparse residual U-Net, TPU-native.
+
+Architecture parity with ``model/resunet.py`` (ResUNet2 + BN/IN variants;
+deployed config ``ResUNetBN2C(in=1, out=16, bn_momentum=0.05,
+normalize_feature=True, conv1_kernel_size=3, D=3)``, ``evaluation.py:181-188``):
+
+encoder:  conv1(k3,s1)->norm->block1->relu          (32 ch)
+          conv2(k3,s2)->norm->block2->relu          (64 ch, stride 2)
+          conv3(k3,s2)->norm->block3->relu          (128 ch, stride 4)
+          conv4(k3,s2)->norm->block4->relu          (256 ch, stride 8)
+bottleneck: the stride-8 tensor is returned raw for the embedding head
+decoder:  conv4_tr(s2)->norm->block->relu; concat skip(s4)
+          conv3_tr(s2)->...; concat skip(s2)
+          conv2_tr(s2)->...; concat skip(s1)
+          conv1_tr(k1)->relu->final(k1,+bias)       (-> out_channels)
+output:   L2-normalized per-voxel features + bottleneck tensor
+
+Implementation is purely functional: ``init_params`` builds the parameter
+pytree, ``forward(params, grid, maps, cfg)`` consumes the neighbor tables
+from ``CoordinateManager``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from corsair_tpu.core.coordmap import UNetMaps
+from corsair_tpu.core.sparse import SparseGrid
+from corsair_tpu.nn.layers import (
+    apply_norm,
+    l2_normalize,
+    relu,
+    sparse_conv,
+    sparse_conv1x1,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResUNetConfig:
+    name: str = "ResUNetBN2C"
+    in_channels: int = 1
+    out_channels: int = 16
+    channels: Tuple[int, ...] = (32, 64, 128, 256)
+    tr_channels: Tuple[int, ...] = (64, 64, 64, 128)  # BN2C
+    norm_type: str = "BN"
+    block_norm_type: str = "BN"
+    conv1_kernel_size: int = 3
+    bn_momentum: float = 0.05
+    normalize_feature: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+
+# CHANNELS / TR_CHANNELS per variant (model/resunet.py:283-333).
+_VARIANTS = {
+    "ResUNetBN2":  dict(channels=(32, 64, 128, 256), tr=(32, 64, 64, 128), norm="BN", block="BN"),
+    "ResUNetBN2B": dict(channels=(32, 64, 128, 256), tr=(64, 64, 64, 64), norm="BN", block="BN"),
+    "ResUNetBN2C": dict(channels=(32, 64, 128, 256), tr=(64, 64, 64, 128), norm="BN", block="BN"),
+    "ResUNetBN2D": dict(channels=(32, 64, 128, 256), tr=(64, 64, 128, 128), norm="BN", block="BN"),
+    "ResUNetBN2E": dict(channels=(128, 128, 128, 256), tr=(64, 128, 128, 128), norm="BN", block="BN"),
+    "ResUNetIN2":  dict(channels=(32, 64, 128, 256), tr=(32, 64, 64, 128), norm="BN", block="IN"),
+    "ResUNetIN2B": dict(channels=(32, 64, 128, 256), tr=(64, 64, 64, 64), norm="BN", block="IN"),
+    "ResUNetIN2C": dict(channels=(32, 64, 128, 256), tr=(64, 64, 64, 128), norm="BN", block="IN"),
+    "ResUNetIN2D": dict(channels=(32, 64, 128, 256), tr=(64, 64, 128, 128), norm="BN", block="IN"),
+    "ResUNetIN2E": dict(channels=(128, 128, 128, 256), tr=(64, 128, 128, 128), norm="BN", block="IN"),
+}
+
+
+def make_config(name: str, **kwargs) -> ResUNetConfig:
+    v = _VARIANTS[name]
+    return ResUNetConfig(
+        name=name,
+        channels=v["channels"],
+        tr_channels=v["tr"],
+        norm_type=v["norm"],
+        block_norm_type=v["block"],
+        **kwargs,
+    )
+
+
+def _conv_init(key, k, cin, cout, dtype):
+    # Kaiming-uniform fan-in (torch default for ME convolutions).
+    fan_in = k * cin
+    bound = (6.0 / fan_in) ** 0.5
+    return jax.random.uniform(
+        key, (k, cin, cout), dtype, minval=-bound, maxval=bound
+    )
+
+
+def _norm_init(c, dtype):
+    return {
+        "scale": jnp.ones((c,), dtype),
+        "bias": jnp.zeros((c,), dtype),
+        "mean": jnp.zeros((c,), dtype),
+        "var": jnp.ones((c,), dtype),
+    }
+
+
+def _block_init(key, c, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": {"kernel": _conv_init(k1, 27, c, c, dtype)},
+        "norm1": _norm_init(c, dtype),
+        "conv2": {"kernel": _conv_init(k2, 27, c, c, dtype)},
+        "norm2": _norm_init(c, dtype),
+    }
+
+
+def init_params(key, cfg: ResUNetConfig):
+    ch = cfg.channels
+    tr = cfg.tr_channels
+    keys = jax.random.split(key, 16)
+    k27_1 = cfg.conv1_kernel_size ** 3
+    p = {
+        "conv1": {"kernel": _conv_init(keys[0], k27_1, cfg.in_channels, ch[0], cfg.dtype)},
+        "norm1": _norm_init(ch[0], cfg.dtype),
+        "block1": _block_init(keys[1], ch[0], cfg.dtype),
+        "conv2": {"kernel": _conv_init(keys[2], 27, ch[0], ch[1], cfg.dtype)},
+        "norm2": _norm_init(ch[1], cfg.dtype),
+        "block2": _block_init(keys[3], ch[1], cfg.dtype),
+        "conv3": {"kernel": _conv_init(keys[4], 27, ch[1], ch[2], cfg.dtype)},
+        "norm3": _norm_init(ch[2], cfg.dtype),
+        "block3": _block_init(keys[5], ch[2], cfg.dtype),
+        "conv4": {"kernel": _conv_init(keys[6], 27, ch[2], ch[3], cfg.dtype)},
+        "norm4": _norm_init(ch[3], cfg.dtype),
+        "block4": _block_init(keys[7], ch[3], cfg.dtype),
+        "conv4_tr": {"kernel": _conv_init(keys[8], 27, ch[3], tr[3], cfg.dtype)},
+        "norm4_tr": _norm_init(tr[3], cfg.dtype),
+        "block4_tr": _block_init(keys[9], tr[3], cfg.dtype),
+        "conv3_tr": {"kernel": _conv_init(keys[10], 27, ch[2] + tr[3], tr[2], cfg.dtype)},
+        "norm3_tr": _norm_init(tr[2], cfg.dtype),
+        "block3_tr": _block_init(keys[11], tr[2], cfg.dtype),
+        "conv2_tr": {"kernel": _conv_init(keys[12], 27, ch[1] + tr[2], tr[1], cfg.dtype)},
+        "norm2_tr": _norm_init(tr[1], cfg.dtype),
+        "block2_tr": _block_init(keys[13], tr[1], cfg.dtype),
+        "conv1_tr": {"kernel": _conv_init(keys[14], 1, ch[0] + tr[1], tr[0], cfg.dtype)},
+        "final": {
+            "kernel": _conv_init(keys[15], 1, tr[0], cfg.out_channels, cfg.dtype),
+            "bias": jnp.zeros((cfg.out_channels,), cfg.dtype),
+        },
+    }
+    return p
+
+
+def _residual_block(params, feats, table, batch, valid, nb, norm_type,
+                    training):
+    """conv(k3)->norm->relu->conv(k3)->norm->(+residual)->relu
+    (``model/residual_block.py:57-73``)."""
+    residual = feats
+    out = sparse_conv(params["conv1"], feats, table)
+    out = apply_norm(norm_type, params["norm1"], out, batch, valid, nb,
+                     training=False)
+    out = relu(out)
+    out = sparse_conv(params["conv2"], out, table)
+    out = apply_norm(norm_type, params["norm2"], out, batch, valid, nb,
+                     training=False)
+    out = out + residual
+    return relu(out)
+
+
+def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
+            training: bool = False):
+    """Returns (point_feats [N,out_ch], bottleneck_feats [N4, ch4]).
+
+    Point features are L2-normalized when ``cfg.normalize_feature``
+    (``model/resunet.py:258-268``); the bottleneck tensor is returned raw.
+    Both come with their level's (batch, valid) available from ``maps``.
+    """
+    L = maps.levels
+    nb = grid.num_batches
+    nt, bt = cfg.norm_type, cfg.block_norm_type
+
+    def norm(pname, feats, lvl):
+        return apply_norm(nt, params[pname], feats, L[lvl].batch,
+                          L[lvl].valid, nb, training=False)
+
+    # ---- encoder
+    out_s1 = sparse_conv(params["conv1"], grid.feats, L[0].self_table)
+    out_s1 = norm("norm1", out_s1, 0)
+    out_s1 = _residual_block(params["block1"], out_s1, L[0].self_table,
+                             L[0].batch, L[0].valid, nb, bt, training)
+    out = relu(out_s1)
+
+    out_s2 = sparse_conv(params["conv2"], out, L[1].down_table)
+    out_s2 = norm("norm2", out_s2, 1)
+    out_s2 = _residual_block(params["block2"], out_s2, L[1].self_table,
+                             L[1].batch, L[1].valid, nb, bt, training)
+    out = relu(out_s2)
+
+    out_s4 = sparse_conv(params["conv3"], out, L[2].down_table)
+    out_s4 = norm("norm3", out_s4, 2)
+    out_s4 = _residual_block(params["block3"], out_s4, L[2].self_table,
+                             L[2].batch, L[2].valid, nb, bt, training)
+    out = relu(out_s4)
+
+    out_s8 = sparse_conv(params["conv4"], out, L[3].down_table)
+    out_s8 = norm("norm4", out_s8, 3)
+    out_s8 = _residual_block(params["block4"], out_s8, L[3].self_table,
+                             L[3].batch, L[3].valid, nb, bt, training)
+    out = relu(out_s8)
+
+    bottleneck = out_s8  # returned raw (model/resunet.py:230)
+
+    # ---- decoder
+    out = sparse_conv(params["conv4_tr"], out, L[3].up_table)
+    out = norm("norm4_tr", out, 2)
+    out = _residual_block(params["block4_tr"], out, L[2].self_table,
+                          L[2].batch, L[2].valid, nb, bt, training)
+    out = relu(out)
+    out = jnp.concatenate([out, out_s4], axis=1)  # ME.cat skip
+
+    out = sparse_conv(params["conv3_tr"], out, L[2].up_table)
+    out = norm("norm3_tr", out, 1)
+    out = _residual_block(params["block3_tr"], out, L[1].self_table,
+                          L[1].batch, L[1].valid, nb, bt, training)
+    out = relu(out)
+    out = jnp.concatenate([out, out_s2], axis=1)
+
+    out = sparse_conv(params["conv2_tr"], out, L[1].up_table)
+    out = norm("norm2_tr", out, 0)
+    out = _residual_block(params["block2_tr"], out, L[0].self_table,
+                          L[0].batch, L[0].valid, nb, bt, training)
+    out = relu(out)
+    out = jnp.concatenate([out, out_s1], axis=1)
+
+    out = sparse_conv1x1(params["conv1_tr"], out)
+    out = relu(out)
+    out = sparse_conv1x1(params["final"], out)
+
+    if cfg.normalize_feature:
+        out = l2_normalize(out, axis=1)
+    out = jnp.where(L[0].valid[:, None], out, 0.0)
+    bottleneck = jnp.where(L[3].valid[:, None], bottleneck, 0.0)
+    return out, bottleneck

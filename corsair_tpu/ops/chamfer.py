@@ -1,0 +1,81 @@
+"""Chamfer distances as tiled matmul min-reductions.
+
+Parity targets:
+* ``chamfer_kdtree_1direction`` (``utils/preprocess.py:67-70``): mean over
+  pc0 of the distance to its nearest neighbor in pc1.
+* ``chamfer_gpu`` (``utils/preprocess.py:51-56``): bidirectional sum.
+* ``chamfer_max`` (``evaluation-shapenet.py:122-135``): max over both
+  directions of the nearest-neighbor distance (used for symmetry tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from corsair_tpu.ops.knn import pairwise_sqdist
+
+_BIG = jnp.float32(1e30)
+
+
+def _min_nn_dists(pc0, pc1, v0, v1, chunk):
+    """Per-point nearest-neighbor distance from pc0 into pc1. ``[N]``"""
+    n = pc0.shape[0]
+    pad = (-n) % chunk
+    q = jnp.pad(pc0, ((0, pad), (0, 0)))
+
+    def body(qc):
+        d2 = pairwise_sqdist(qc, pc1, v1)
+        return jnp.min(d2, axis=1)
+
+    d2 = jax.lax.map(body, q.reshape(-1, chunk, pc0.shape[1])).reshape(-1)[:n]
+    d = jnp.sqrt(d2)
+    if v0 is not None:
+        d = jnp.where(v0, d, 0.0)
+    return d
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def chamfer_1direction(pc0, pc1, v0=None, v1=None, chunk: int = 2048):
+    d = _min_nn_dists(pc0, pc1, v0, v1, chunk)
+    if v0 is None:
+        return jnp.mean(d)
+    cnt = jnp.maximum(jnp.sum(v0), 1)
+    return jnp.sum(d) / cnt
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def chamfer_bidirectional(pc0, pc1, v0=None, v1=None, chunk: int = 2048):
+    return chamfer_1direction(pc0, pc1, v0, v1, chunk) + chamfer_1direction(
+        pc1, pc0, v1, v0, chunk
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def chamfer_max(pc0, pc1, v0=None, v1=None, chunk: int = 2048):
+    d01 = _min_nn_dists(pc0, pc1, v0, v1, chunk)
+    d10 = _min_nn_dists(pc1, pc0, v1, v0, chunk)
+    return jnp.maximum(jnp.max(d01), jnp.max(d10))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def chamfer_matrix(pcs, valid=None, chunk: int = 2048):
+    """Pairwise bidirectional Chamfer matrix over a stack of clouds.
+
+    ``pcs`` [S, P, 3]; returns [S, S] with diagonal 0. Replaces the
+    8-thread host matrix builder ``utils/pc_dist.py:61-99`` with a vmap.
+    """
+    s = pcs.shape[0]
+
+    def row(i):
+        def col(j):
+            va = None if valid is None else valid[i]
+            vb = None if valid is None else valid[j]
+            return chamfer_1direction(pcs[i], pcs[j], va, vb, chunk) + \
+                chamfer_1direction(pcs[j], pcs[i], vb, va, chunk)
+        return jax.vmap(col)(jnp.arange(s))
+
+    mat = jax.lax.map(row, jnp.arange(s))
+    return mat * (1.0 - jnp.eye(s))

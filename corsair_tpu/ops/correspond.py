@@ -1,0 +1,77 @@
+"""Feature-space correspondence building.
+
+Parity with ``find_corr`` / ``find_kcorr`` (``utils/eval_pose.py:28-79``):
+top-k feature-space neighbors; each source index is repeated k times. Adds
+masked/sector-restricted variants used by the symmetry-aided path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from corsair_tpu.ops.knn import pairwise_sqdist
+
+_BIG = jnp.float32(1e30)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def find_kcorr(F0, F1, k: int, v0=None, v1=None, chunk: int = 1024):
+    """Top-k matches of each F0 row in F1.
+
+    Returns (idx0 [N0*k], idx1 [N0*k], valid [N0*k]) with idx0 repeated k
+    times per source row (``utils/eval_pose.py:74-79``).
+    """
+    n0 = F0.shape[0]
+    pad = (-n0) % chunk
+    q = jnp.pad(F0, ((0, pad), (0, 0)))
+
+    def body(qc):
+        d2 = pairwise_sqdist(qc, F1, v1)
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32)
+
+    idx1 = jax.lax.map(body, q.reshape(-1, chunk, F0.shape[1]))
+    idx1 = idx1.reshape(-1, k)[:n0]                      # [N0, k]
+    idx0 = jnp.repeat(jnp.arange(n0, dtype=jnp.int32), k)
+    valid = jnp.ones((n0,), bool) if v0 is None else v0
+    return idx0, idx1.reshape(-1), jnp.repeat(valid, k)
+
+
+@partial(jax.jit, static_argnames=("num_sectors", "k", "chunk"))
+def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
+                          v1=None, chunk: int = 1024):
+    """For each source row, the top-k F1 neighbors *within every target
+    sector*: ``idx [N0, S, k]``, ``ok [N0, S, k]`` (False when the sector has
+    fewer than needed valid points).
+
+    Computed in one chunked pass so that all cyclic sector shifts of the
+    symmetry-aided registration (``utils/symmetry.py:303-356``) reuse the
+    same distance computation.
+    """
+    n0 = F0.shape[0]
+    pad = (-n0) % chunk
+    q = jnp.pad(F0, ((0, pad), (0, 0)))
+    sec_mask = (
+        sector1[None, :] == jnp.arange(num_sectors)[:, None]
+    )  # [S, N1]
+    if v1 is not None:
+        sec_mask = sec_mask & v1[None, :]
+
+    def body(qc):
+        d2 = pairwise_sqdist(qc, F1)  # [chunk, N1]
+
+        def per_sector(mask):
+            dm = jnp.where(mask[None, :], d2, _BIG)
+            neg_d, idx = jax.lax.top_k(-dm, k)
+            return idx.astype(jnp.int32), (-neg_d) < _BIG / 2
+
+        idxs, oks = jax.vmap(per_sector)(sec_mask)  # [S, chunk, k]
+        return jnp.transpose(idxs, (1, 0, 2)), jnp.transpose(oks, (1, 0, 2))
+
+    idxs, oks = jax.lax.map(body, q.reshape(-1, chunk, F0.shape[1]))
+    idxs = idxs.reshape(-1, num_sectors, k)[:n0]
+    oks = oks.reshape(-1, num_sectors, k)[:n0]
+    return idxs, oks

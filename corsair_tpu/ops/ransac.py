@@ -1,0 +1,94 @@
+"""Massively parallel correspondence-RANSAC.
+
+TPU-native replacement for Open3D's
+``registration_ransac_based_on_correspondence`` (C++/OpenMP,
+``utils/eval_pose.py:82-100``). Instead of a sequential hypothesis loop,
+all hypotheses are drawn, solved (batched Kabsch SVD) and scored (tiled
+inlier count over all correspondences) in one program; the winner is chosen
+by (inlier count, -rmse), mirroring Open3D's (fitness, -inlier_rmse)
+ranking. A final weighted refit on the winner's inliers sharpens the pose
+(Open3D achieves a similar effect through its high iteration count).
+
+Fully deterministic under a ``jax.random`` key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from corsair_tpu.ops.kabsch import kabsch_umeyama
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    num_hypotheses: int = 4096
+    sample_size: int = 10          # ransac_n=10, utils/eval_pose.py:96
+    max_corr_dist: float = 0.2     # evaluation.py Config.max_corr
+    refine_iters: int = 2          # IRLS refits on inliers of the winner
+
+
+def _score_all(T, src, dst, valid, max_dist2):
+    """Inlier count + sum of squared inlier residuals for one pose."""
+    moved = src @ T[:3, :3].T + T[:3, 3]
+    d2 = jnp.sum((moved - dst) ** 2, axis=1)
+    inl = (d2 <= max_dist2) & valid
+    count = jnp.sum(inl)
+    sse = jnp.sum(jnp.where(inl, d2, 0.0))
+    return count, sse
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
+    """RANSAC over an explicit correspondence set.
+
+    ``src``/``dst``: [M, 3] matched point pairs (identity correspondence
+    list, as the reference builds via ``find_kcorr``); ``valid``: [M] mask
+    for padding. Returns (T [4,4], inlier_count, rmse).
+    """
+    m = src.shape[0]
+    h = config.num_hypotheses
+    s = config.sample_size
+    max_d2 = jnp.float32(config.max_corr_dist**2)
+
+    # Sample only among valid correspondences: draw from [0, n_valid) in a
+    # compacted index space.
+    order = jnp.argsort(~valid)  # valid rows first
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    raw = jax.random.randint(key, (h, s), 0, 2**31 - 1)
+    samp = order[raw % n_valid]                      # [h, s]
+
+    src_h = src[samp]                                # [h, s, 3]
+    dst_h = dst[samp]
+
+    Ts = jax.vmap(lambda a, b: kabsch_umeyama(a, b))(src_h, dst_h)
+
+    counts, sses = jax.vmap(
+        lambda T: _score_all(T, src, dst, valid, max_d2)
+    )(Ts)
+    rmse = jnp.sqrt(sses / jnp.maximum(counts, 1))
+    # Rank by (count, -rmse): pack into one float score.
+    score = counts.astype(jnp.float32) - rmse / (rmse + 1.0)
+    best = jnp.argmax(score)
+    T_best = Ts[best]
+
+    # Refinement: refit on the winner's inliers (hard weights), repeat.
+    def refine(T, _):
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        d2 = jnp.sum((moved - dst) ** 2, axis=1)
+        w = ((d2 <= max_d2) & valid).astype(jnp.float32)
+        T_new = kabsch_umeyama(src, dst, w)
+        # Keep refit only if it does not lose inliers.
+        c_old, _ = _score_all(T, src, dst, valid, max_d2)
+        c_new, _ = _score_all(T_new, src, dst, valid, max_d2)
+        return jnp.where(c_new >= c_old, T_new, T), None
+
+    T_final, _ = jax.lax.scan(
+        refine, T_best, None, length=config.refine_iters
+    )
+    c_fin, sse_fin = _score_all(T_final, src, dst, valid, max_d2)
+    rmse_fin = jnp.sqrt(sse_fin / jnp.maximum(c_fin, 1))
+    return T_final, c_fin, rmse_fin

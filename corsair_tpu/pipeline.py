@@ -1,0 +1,114 @@
+"""High-level jitted pipelines: voxel batch -> features -> descriptors.
+
+This is the TPU equivalent of the reference's Phase A/B extraction loops
+(``evaluation.py:207-269``): one jitted program per batch bucket computes
+per-point features and the 256-D retrieval descriptor for every cloud in
+the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from corsair_tpu.core.coordmap import CoordinateManager
+from corsair_tpu.core.sparse import SparseGrid
+from corsair_tpu.core.voxelize import collate_to_grid
+from corsair_tpu.nn import heads, resunet
+from corsair_tpu.nn.layers import l2_normalize
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractorConfig:
+    model_name: str = "ResUNetBN2C"
+    in_channels: int = 1
+    out_channels: int = 16
+    bn_momentum: float = 0.05
+    conv1_kernel_size: int = 3
+    normalize_feature: bool = True
+    embed_conv_channels: int = 1024
+    embed_linear1: int = 512
+    embed_linear2: int = 256
+    normalize_descriptor: bool = True  # evaluation.py:231
+    level_cap_ratios: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.2)
+
+
+class FeatureExtractor:
+    """Stateless wrapper owning configs + the jit cache."""
+
+    def __init__(self, config: ExtractorConfig = ExtractorConfig()):
+        self.config = config
+        self.model_cfg = resunet.make_config(
+            config.model_name,
+            in_channels=config.in_channels,
+            out_channels=config.out_channels,
+            bn_momentum=config.bn_momentum,
+            conv1_kernel_size=config.conv1_kernel_size,
+            normalize_feature=config.normalize_feature,
+        )
+        self.manager = CoordinateManager(
+            num_levels=4, level_cap_ratios=config.level_cap_ratios
+        )
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        model = resunet.init_params(k1, self.model_cfg)
+        emb = heads.conv1_max_embedding_init(
+            k2,
+            conv_channels=self.config.embed_conv_channels,
+            linear1_dim=self.config.embed_linear1,
+            linear2_dim=self.config.embed_linear2,
+            in_channels=self.model_cfg.channels[-1],
+        )
+        return {"model": model, "embedding": emb}
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def extract(self, params, grid: SparseGrid):
+        """Returns (point_feats [N, out_ch], descriptors [B, 256],
+        bottleneck_valid mask info is carried by the grid/maps)."""
+        maps = self.manager.build(grid)
+        feats, bottleneck = resunet.forward(
+            params["model"], grid, maps, self.model_cfg
+        )
+        l4 = maps.levels[3]
+        desc = heads.conv1_max_embedding_apply(
+            params["embedding"], bottleneck, l4.batch, l4.valid,
+            grid.num_batches,
+        )
+        if self.config.normalize_descriptor:
+            desc = l2_normalize(desc, axis=1)
+        return feats, desc
+
+    def extract_batch_np(self, params, coords_list: List[np.ndarray],
+                         capacity: Optional[int] = None):
+        """Host convenience: list of per-cloud voxel coords -> numpy outputs
+        split per cloud."""
+        feats_list = [
+            np.ones((len(c), 1), np.float32) for c in coords_list
+        ]
+        if capacity is None:
+            total = sum(len(c) for c in coords_list)
+            capacity = _round_up_bucket(total)
+        grid = collate_to_grid(coords_list, feats_list, capacity)
+        feats, desc = self.extract(params, grid)
+        feats = np.asarray(feats)
+        desc = np.asarray(desc)
+        batch = np.asarray(grid.batch)
+        valid = np.asarray(grid.valid)
+        per_cloud = [
+            feats[(batch == i) & valid] for i in range(len(coords_list))
+        ]
+        return per_cloud, desc
+
+
+def _round_up_bucket(n: int, buckets=(2048, 4096, 8192, 16384, 32768,
+                                      65536, 131072, 262144)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n

@@ -1,0 +1,3 @@
+from corsair_tpu.utils.logger import Logger
+
+__all__ = ["Logger"]

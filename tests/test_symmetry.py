@@ -1,0 +1,165 @@
+"""Tests for the symmetry-aided registration pipeline."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from corsair_tpu.ops.correspond import find_kcorr, find_kcorr_per_sector
+from corsair_tpu.ops.pose_metrics import eval_pose
+from corsair_tpu.ops.ransac import RansacConfig
+from corsair_tpu.ops.symmetry import (
+    SymPoseConfig,
+    shift_permutations,
+    sym_pose,
+    symmetric_cut,
+)
+from corsair_tpu.ops.transforms import apply_transform, euler_y
+
+
+def _two_sided_cloud(rng, n=300):
+    """A cloud with two well-separated lobes + distinctive per-lobe
+    features mirrored between the lobes (so a feature neighborhood spans
+    both lobes, like symmetric geometry)."""
+    half = n // 2
+    left = rng.randn(half, 3) * 0.1 + np.array([-1.0, 0, 0])
+    right = rng.randn(half, 3) * 0.1 + np.array([1.0, 0, 0])
+    xyz = np.concatenate([left, right]).astype(np.float32)
+    base = rng.randn(half, 8).astype(np.float32)
+    feat = np.concatenate([base, base])  # mirror-symmetric features
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True)
+    return xyz, feat
+
+
+class TestShiftPermutations:
+    def test_k2(self):
+        p = shift_permutations(2)
+        np.testing.assert_array_equal(p, [[0, 1], [1, 0]])
+
+    def test_k4_matches_reference_rotation(self):
+        p = shift_permutations(4)
+        assert p.shape == (8, 4)
+        # cyclic shifts
+        np.testing.assert_array_equal(p[0], [0, 1, 2, 3])
+        np.testing.assert_array_equal(p[1], [1, 2, 3, 0])
+        np.testing.assert_array_equal(p[3], [3, 0, 1, 2])
+        # reflected pass starts from [0, 3, 2, 1]
+        np.testing.assert_array_equal(p[4], [0, 3, 2, 1])
+        np.testing.assert_array_equal(p[5], [3, 2, 1, 0])
+
+
+class TestFindKcorr:
+    def test_identity_match(self, rng):
+        f = rng.randn(50, 8).astype(np.float32)
+        idx0, idx1, valid = find_kcorr(
+            jnp.asarray(f), jnp.asarray(f), 1, chunk=32
+        )
+        np.testing.assert_array_equal(np.asarray(idx0), np.arange(50))
+        np.testing.assert_array_equal(np.asarray(idx1), np.arange(50))
+
+    def test_repeats_k(self, rng):
+        f0 = rng.randn(10, 4).astype(np.float32)
+        f1 = rng.randn(20, 4).astype(np.float32)
+        idx0, idx1, valid = find_kcorr(
+            jnp.asarray(f0), jnp.asarray(f1), 3, chunk=8
+        )
+        assert idx0.shape == (30,)
+        np.testing.assert_array_equal(
+            np.asarray(idx0), np.repeat(np.arange(10), 3)
+        )
+
+    def test_per_sector(self, rng):
+        f0 = rng.randn(20, 4).astype(np.float32)
+        f1 = rng.randn(40, 4).astype(np.float32)
+        sector1 = (np.arange(40) % 2).astype(np.int32)
+        idx, ok = find_kcorr_per_sector(
+            jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(sector1), 2, 2,
+            chunk=16,
+        )
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        assert idx.shape == (20, 2, 2)
+        # neighbors assigned to sector s must actually be in sector s
+        for s in range(2):
+            assert (sector1[idx[:, s, :][ok[:, s, :]]] == s).all()
+        # and must be the true within-sector top-k
+        d2 = ((f0[:, None, :] - f1[None, :, :]) ** 2).sum(-1)
+        for s in range(2):
+            dm = d2[:, sector1 == s]
+            ref = np.argsort(dm, axis=1)[:, :2]
+            sec_rows = np.nonzero(sector1 == s)[0]
+            np.testing.assert_array_equal(idx[:, s, :], sec_rows[ref])
+
+
+class TestSymmetricCut:
+    def test_two_lobes(self, rng):
+        xyz, feat = _two_sided_cloud(rng)
+        valid = np.ones(len(xyz), bool)
+        cfg = SymPoseConfig(num_sectors=2, max_sample=20,
+                            kmeans_restarts=4, kmeans_iters=15)
+        sector, ok = symmetric_cut(
+            jax.random.PRNGKey(0), jnp.asarray(feat), jnp.asarray(xyz),
+            jnp.asarray(valid), cfg,
+        )
+        assert bool(ok)
+        sector = np.asarray(sector)
+        half = len(xyz) // 2
+        # each lobe lands in a single sector
+        assert len(np.unique(sector[:half])) == 1
+        assert len(np.unique(sector[half:])) == 1
+        assert sector[0] != sector[-1]
+
+    def test_rejects_blob(self, rng):
+        # one tight blob: inter-center distance < 0.15 -> no accepted fit
+        xyz = (rng.randn(100, 3) * 0.01).astype(np.float32)
+        feat = rng.randn(100, 8).astype(np.float32)
+        valid = np.ones(100, bool)
+        cfg = SymPoseConfig(num_sectors=2, max_sample=10,
+                            kmeans_restarts=2, kmeans_iters=10)
+        _, ok = symmetric_cut(
+            jax.random.PRNGKey(0), jnp.asarray(feat), jnp.asarray(xyz),
+            jnp.asarray(valid), cfg,
+        )
+        assert not bool(ok)
+
+
+class TestSymPose:
+    def _run(self, rng, sym_angle=None, num_sectors=2):
+        """Cloud 1 = rotated copy of cloud 0 with matching features."""
+        xyz0, feat = _two_sided_cloud(rng, n=200)
+        if sym_angle is None:
+            T = np.eye(4)
+            T[:3, :3] = euler_y(np.float64(0.7))
+            T[:3, 3] = [0.1, -0.2, 0.3]
+        else:
+            T = np.eye(4)
+            T[:3, :3] = euler_y(np.float64(sym_angle))
+        xyz1 = apply_transform(xyz0, T).astype(np.float32)
+        valid = np.ones(len(xyz0), bool)
+        cfg = SymPoseConfig(
+            num_sectors=num_sectors, max_sample=16, kmeans_restarts=3,
+            kmeans_iters=12, max_corr=0.2,
+            ransac=RansacConfig(num_hypotheses=512, sample_size=10),
+        )
+        out = sym_pose(
+            jax.random.PRNGKey(0),
+            jnp.asarray(feat), jnp.asarray(xyz0), jnp.asarray(valid),
+            jnp.asarray(feat), jnp.asarray(xyz1), jnp.asarray(valid),
+            cfg, chunk=128,
+        )
+        return [np.asarray(x) for x in out], T
+
+    def test_recovers_transform(self, rng):
+        (T_best, cd_best, T_ransac, cd_ransac, ok), T = self._run(rng)
+        t_err, r_err = eval_pose(T_best, np.eye(4), T, 1)
+        assert r_err < np.deg2rad(5), np.rad2deg(r_err)
+        assert t_err < 0.1
+        assert cd_best <= cd_ransac + 1e-6
+
+    def test_outputs_finite(self, rng):
+        (T_best, cd_best, T_ransac, cd_ransac, ok), _ = self._run(
+            rng, num_sectors=4
+        )
+        assert np.isfinite(T_best).all()
+        assert np.isfinite(cd_best)
+        assert np.isfinite(T_ransac).all()
