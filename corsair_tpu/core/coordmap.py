@@ -131,19 +131,28 @@ def downsample_coords(coords, batch, valid, stride: int, out_capacity: int):
     return out_coords, out_batch, out_valid
 
 
+def level_occupancy(maps: "UNetMaps"):
+    """Valid-voxel count per level — host diagnostic for tuning
+    ``level_cap_ratios``. A level whose count equals its capacity may have
+    silently dropped voxels (capacity overflow)."""
+    return [int(jnp.sum(lv.valid)) for lv in maps.levels]
+
+
 class CoordinateManager:
     """Builds all level coordinate sets and neighbor tables for a U-Net.
 
-    ``level_caps`` fixes the static capacity of each level; defaults to a
-    geometric 1/2 decay of the input capacity, which is conservative for
-    surface point clouds (true occupancy decays ~1/3-1/4 per level).
+    ``level_cap_ratios`` fixes the static capacity of each level relative
+    to the input capacity. The safe default keeps full capacity at every
+    level (a 2x-coarser level of a sparse cloud can retain nearly all
+    voxels); dense inputs can shrink the ratios for speed after checking
+    ``level_occupancy``.
     """
 
     def __init__(
         self,
         num_levels: int = 4,
         kernel_size: int = 3,
-        level_cap_ratios: Sequence[float] = (1.0, 0.5, 0.25, 0.125),
+        level_cap_ratios: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
     ):
         self.num_levels = num_levels
         self.kernel_size = kernel_size

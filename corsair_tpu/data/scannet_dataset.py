@@ -1,0 +1,277 @@
+"""Scan2CAD ScanNet dataset (evaluation + finetuning).
+
+Parity with ``datasets/ScannetDataset.py:34-330``: per scan object, align
+the scan into the CAD frame via ``inv(T_pos) @ T_base``, normalize by the
+positive CAD's centroid + radius, apply the fixed per-index test rotations
+from ``configs/fix_trans.npy`` (train: random SE(3)), voxelize, and (for
+training) mine PiP/PiN/NiN pairs with the bad-scan retry/blacklist loop.
+
+Protocol quirks faithfully kept: ``table[r, r] = 0`` mutation (``:65-67``),
+positive sampling with linearly-decaying prob over Chamfer rank with
+CD < 0.15 validity, negative CD > 0.2 (``:136-166``).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional
+
+import numpy as np
+
+from corsair_tpu.data.category_dataset import CategoryDataset, _CONFIG_DIR
+from corsair_tpu.data.readers import load_raw_pc
+from corsair_tpu.ops.transforms import apply_transform, random_rotation, to_T
+
+
+class ScannetDataset(CategoryDataset):
+    def __init__(self, scan_root, cad_root, CADLib, Scan2CadInfo, split,
+                 catid, pos_ratio, neg_ratio, voxel_size, preload=True,
+                 config_dir: str = None):
+        self.scan_root = scan_root
+        self.cad_root = cad_root
+        self.catid = catid
+        self.split = split
+        self.voxel_size = voxel_size
+        self.preload = preload
+        self.badscans = []
+
+        self.CADLib = CADLib
+        self.table = self.CADLib.table
+        # ground truth is included in the top match (reference :65-67)
+        r = np.arange(len(self.table))
+        self.table[r, r] = 0
+
+        self.id2idx = self.CADLib.id2idx
+        (self.files, self.BestMatches, self.CadPoses,
+         self.ScanPoses) = Scan2CadInfo.get_split(split)
+
+        if self.preload:
+            self.pcs = [
+                load_raw_pc(os.path.join(self.scan_root, f), 10000)
+                for f in self.files
+            ]
+        else:
+            self.pcs = [os.path.join(self.scan_root, f) for f in self.files]
+
+        cfg_dir = config_dir or _CONFIG_DIR
+        sym_file = os.path.join(
+            cfg_dir, f"{self.catid}_scan2cad_rot_sym_label.txt"
+        )
+        if os.path.exists(sym_file):
+            with open(sym_file) as f:
+                self.sym_label = [
+                    int(line.strip("\n").split(" ")[1]) for line in f
+                ]
+        else:
+            self.sym_label = None
+
+        self.rank_a = np.argsort(self.table, 1)
+        self.rank_d = np.argsort(-1 * self.table, 1)
+        self.pos_n = int(len(self.CADLib.CadPcs) * pos_ratio)
+        self.neg_n = int(len(self.CADLib.CadPcs) * neg_ratio)
+        self.fix_trans = np.load(os.path.join(cfg_dir, "fix_trans.npy"))
+
+    def __len__(self):
+        return len(self.files)
+
+    def _get_sym(self, idx):
+        if self.sym_label is None:
+            return 1
+        return self.sym_label[idx]
+
+    def _getscan(self, idx):
+        if self.preload:
+            return self.pcs[idx]
+        return load_raw_pc(self.pcs[idx], 10000)
+
+    def _getcad(self, idx):
+        if self.preload:
+            return self.CADLib.CadPcs[idx]
+        return load_raw_pc(self.CADLib.CadPcs[idx], 10000)
+
+    def generate_positive_inst(self, scanidx):
+        """Positive CADs around the best match
+        (``datasets/ScannetDataset.py:136-151``)."""
+        if self.pos_n > 0:
+            cadidx = self.id2idx[self.BestMatches[scanidx]]
+            topn = self.pos_n
+            dist_rank = np.argsort(self.table[cadidx, :])
+            valid = (self.table[cadidx, :] < 0.15).nonzero()[0]
+            topn = max(min(topn, len(valid)), 1)
+            prob = 2 * (np.arange(topn) + 1) / ((1 + topn) * topn)
+            prob = np.flip(prob)
+            select_idx = np.random.choice(np.arange(topn), p=prob)
+            return dist_rank[select_idx]
+        return self.id2idx[self.BestMatches[scanidx]]
+
+    def generate_negative_inst(self, scanidx):
+        cadidx = self.id2idx[self.BestMatches[scanidx]]
+        topn = self.neg_n
+        dist_rank = np.argsort(-self.table[cadidx, :])
+        valid = (self.table[cadidx, :] > 0.2).nonzero()[0]
+        topn = max(min(topn, len(valid) - 1), 1)
+        prob = 2 * (np.arange(topn) + 1) / ((1 + topn) * topn)
+        prob = np.flip(prob)
+        select_idx = np.random.choice(np.arange(topn), p=prob)
+        return dist_rank[select_idx]
+
+    def __getitem__(self, idx):
+        failed_count = 0
+        pip = pin = nin = None
+
+        while pip is None:
+            if failed_count >= 100:
+                # blacklist + substitute a random other scan (:197-209)
+                self.badscans.append(self.files[idx])
+                while self.files[idx] in self.badscans:
+                    idx = random.randint(0, len(self.files) - 1)
+                failed_count = 0
+
+            positive_idx = self.generate_positive_inst(idx)
+            negative_idx = self.generate_negative_inst(idx)
+
+            base_coords = self._getscan(idx)
+            pos_coords = self._getcad(positive_idx)
+            neg_coords = self._getcad(negative_idx)
+
+            T_base = to_T(
+                self.ScanPoses[idx]["translation"],
+                self.ScanPoses[idx]["rotation"],
+                self.ScanPoses[idx]["scale"],
+            )
+            T_pos = to_T(
+                self.CadPoses[idx]["translation"],
+                self.CadPoses[idx]["rotation"],
+                self.CadPoses[idx]["scale"],
+            )
+            base_coords = apply_transform(
+                base_coords, np.linalg.inv(T_pos) @ T_base
+            )
+
+            # normalize scan with the positive CAD (:242-265)
+            t = pos_coords.mean(0)
+            base_coords = base_coords - t
+            neg_coords = neg_coords - t
+            pos_coords = pos_coords - t
+            r = np.max(np.linalg.norm(pos_coords, 2, 1))
+            base_coords = base_coords / r
+            neg_coords = neg_coords / r
+            pos_coords = pos_coords / r
+
+            pos_sym = self._get_sym(positive_idx)
+
+            if self.split == "train":
+                rot_base, base_T = random_rotation(base_coords)
+                rot_pos, pos_T = random_rotation(pos_coords)
+                rot_neg, neg_T = random_rotation(neg_coords)
+            else:
+                base_T = self.fix_trans[idx, 0]
+                pos_T = self.fix_trans[idx, 1]
+                neg_T = self.fix_trans[idx, 2]
+                rot_base = apply_transform(base_coords, base_T)
+                rot_pos = apply_transform(pos_coords, pos_T)
+                rot_neg = apply_transform(neg_coords, neg_T)
+
+            rot_base, base_grid, base_coords = self.quant(rot_base,
+                                                          base_coords)
+            rot_pos, pos_grid, pos_coords = self.quant(rot_pos, pos_coords)
+            rot_neg, neg_grid, neg_coords = self.quant(rot_neg, neg_coords)
+
+            pip, pin, nin = self.generate_local_pair(
+                base_coords, pos_coords, neg_coords
+            )
+            failed_count += 1
+
+        def role(grid, rot, T, idx_, sym):
+            return {
+                "coord": grid,
+                "origin": rot,
+                "feat": np.ones([len(rot), 1]),
+                "T": T,
+                "idx": idx_,
+                "sym": sym,
+            }
+
+        return (
+            role(base_grid, rot_base, base_T, idx, 1),
+            role(pos_grid, rot_pos, pos_T,
+                 self.id2idx[self.BestMatches[idx]], pos_sym),
+            role(neg_grid, rot_neg, neg_T, negative_idx, 1),
+            pip, pin, nin,
+        )
+
+    def eval_item(self, idx):
+        """Evaluation-path item: only the scan object (no triplet mining).
+
+        The reference reuses the triplet ``__getitem__`` with
+        ``pos_n = 1`` during evaluation (``evaluation.py:160``); this
+        lighter path skips pair mining while keeping the identical
+        geometry protocol, and reports the GT best-match index + symmetry
+        (collated as ``pos_idx``/``pos_sym``).
+        """
+        best_idx = self.id2idx[self.BestMatches[idx]]
+        base_coords = self._getscan(idx)
+        T_base = to_T(
+            self.ScanPoses[idx]["translation"],
+            self.ScanPoses[idx]["rotation"],
+            self.ScanPoses[idx]["scale"],
+        )
+        T_pos = to_T(
+            self.CadPoses[idx]["translation"],
+            self.CadPoses[idx]["rotation"],
+            self.CadPoses[idx]["scale"],
+        )
+        base_coords = apply_transform(
+            base_coords, np.linalg.inv(T_pos) @ T_base
+        )
+        pos_coords = self._getcad(best_idx)
+        t = pos_coords.mean(0)
+        base_coords = base_coords - t
+        pos_coords = pos_coords - t
+        r = np.max(np.linalg.norm(pos_coords, 2, 1))
+        base_coords = base_coords / r
+
+        if self.split == "train":
+            rot_base, base_T = random_rotation(base_coords)
+        else:
+            base_T = self.fix_trans[idx, 0]
+            rot_base = apply_transform(base_coords, base_T)
+        rot_base, base_grid, _ = self.quant(rot_base, base_coords)
+        return {
+            "coord": base_grid,
+            "origin": rot_base,
+            "feat": np.ones([len(rot_base), 1]),
+            "T": base_T,
+            "idx": idx,
+            "pos_idx": best_idx,
+            "pos_sym": self._get_sym(best_idx),
+        }
+
+    def collate_eval(self, list_data, capacity: Optional[int] = None):
+        from corsair_tpu.core.voxelize import sparse_collate_np
+
+        coords = [d["coord"] for d in list_data]
+        feats = [d["feat"].astype(np.float32) for d in list_data]
+        c, b, f, v = sparse_collate_np(coords, feats, capacity)
+        return {
+            "base_coords": c,
+            "base_batch": b,
+            "base_feat": f,
+            "base_valid": v,
+            "base_origin": np.concatenate(
+                [d["origin"] for d in list_data], 0
+            ).astype(np.float32),
+            "base_T": np.stack(
+                [d["T"] for d in list_data]
+            ).astype(np.float32),
+            "base_idx": np.asarray(
+                [d["idx"] for d in list_data], np.int32
+            ),
+            "pos_idx": np.asarray(
+                [d["pos_idx"] for d in list_data], np.int32
+            ),
+            "pos_sym": np.asarray(
+                [d["pos_sym"] for d in list_data], np.int32
+            ),
+        }

@@ -1,0 +1,159 @@
+"""Batched registration driver: all queries through sym_pose on device.
+
+The reference registers one query at a time (``evaluation.py:297``), each
+query paying up to 9 sequential Open3D RANSACs + 200 host KMeans fits.
+Here queries are padded to a common bucket, partitioned by symmetry group
+(sym>=2 -> K=4 sectors, else K=2 — the only data-dependent branch), and
+processed in vmapped batches: every RANSAC hypothesis of every shift of
+every query in the batch runs concurrently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from corsair_tpu.eval.cache import RegistrationResults
+from corsair_tpu.ops.pose_metrics import eval_pose
+from corsair_tpu.ops.symmetry import SymPoseConfig, sym_pose
+
+
+def _pad_stack(arrs: Sequence[np.ndarray], cap: int):
+    """Stack variable-length [n_i, D] arrays into ([B, cap, D], [B, cap])."""
+    b = len(arrs)
+    d = arrs[0].shape[1]
+    out = np.zeros((b, cap, d), np.float32)
+    valid = np.zeros((b, cap), bool)
+    for i, a in enumerate(arrs):
+        n = min(len(a), cap)
+        out[i, :n] = a[:n]
+        valid[i, :n] = True
+    return out, valid
+
+
+@partial(jax.jit, static_argnames=("config", "chunk"))
+def _sym_pose_batch(keys, f0, x0, v0, f1, x1, v1, config, chunk):
+    return jax.vmap(
+        lambda k, a, b, c, d, e, f: sym_pose(k, a, b, c, d, e, f, config,
+                                             chunk)
+    )(keys, f0, x0, v0, f1, x1, v1)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def register_pairs(
+    key,
+    query_feats: List[np.ndarray],
+    query_xyz: List[np.ndarray],
+    cad_feats: List[np.ndarray],
+    cad_xyz: List[np.ndarray],
+    cad_indices: Sequence[int],
+    sym_labels: Sequence[int],
+    sym_config: SymPoseConfig = SymPoseConfig(),
+    batch_size: int = 8,
+    chunk: int = 1024,
+    progress=None,
+) -> RegistrationResults:
+    """Register query i against CAD ``cad_indices[i]``.
+
+    Returns the same 9 result arrays the reference caches
+    (``evaluation.py:285-332``): per query, the symmetry-aided and the
+    vanilla RANSAC transform, their Chamfer distances and the
+    sym-success flag (t/r losses are filled by the caller via eval_pose).
+    """
+    n = len(query_feats)
+    sym_labels = np.asarray(sym_labels)
+    cad_indices = np.asarray(cad_indices)
+
+    cap_q = _round_up(max(len(x) for x in query_xyz), 256)
+    cap_c = _round_up(
+        max(len(cad_xyz[int(i)]) for i in cad_indices), 256
+    )
+
+    Ts_best = np.zeros((n, 4, 4), np.float32)
+    Ts_ransac = np.zeros((n, 4, 4), np.float32)
+    cd_best = np.zeros(n)
+    cd_ransac = np.zeros(n)
+    sym_ok = np.zeros(n, bool)
+
+    # Partition by symmetry group: K=4 for sym >= 2, K=2 otherwise
+    # (utils/symmetry.py:292-298).
+    groups = {
+        4: np.nonzero(sym_labels >= 2)[0],
+        2: np.nonzero(sym_labels < 2)[0],
+    }
+    keys = jax.random.split(key, n)
+
+    for num_sectors, idxs in groups.items():
+        if len(idxs) == 0:
+            continue
+        cfg = dataclasses.replace(sym_config, num_sectors=num_sectors)
+        for s in range(0, len(idxs), batch_size):
+            sel = idxs[s : s + batch_size]
+            bsz = len(sel)
+            pad_sel = np.concatenate(
+                [sel, np.repeat(sel[-1:], batch_size - bsz)]
+            )
+            f0, v0 = _pad_stack([query_feats[i] for i in pad_sel], cap_q)
+            x0, _ = _pad_stack([query_xyz[i] for i in pad_sel], cap_q)
+            f1, v1 = _pad_stack(
+                [cad_feats[int(cad_indices[i])] for i in pad_sel], cap_c
+            )
+            x1, _ = _pad_stack(
+                [cad_xyz[int(cad_indices[i])] for i in pad_sel], cap_c
+            )
+            bkeys = jnp.stack([keys[i] for i in pad_sel])
+            T_b, cd_b, T_r, cd_r, ok = _sym_pose_batch(
+                bkeys,
+                jnp.asarray(f0), jnp.asarray(x0), jnp.asarray(v0),
+                jnp.asarray(f1), jnp.asarray(x1), jnp.asarray(v1),
+                cfg, chunk,
+            )
+            Ts_best[sel] = np.asarray(T_b)[:bsz]
+            Ts_ransac[sel] = np.asarray(T_r)[:bsz]
+            cd_best[sel] = np.asarray(cd_b)[:bsz]
+            cd_ransac[sel] = np.asarray(cd_r)[:bsz]
+            sym_ok[sel] = np.asarray(ok)[:bsz]
+            if progress is not None:
+                progress(min(s + bsz, len(idxs)), len(idxs), num_sectors)
+
+    return RegistrationResults(
+        Ts_est_ransac=Ts_ransac,
+        Ts_est_best=Ts_best,
+        t_losses_ransac=np.zeros(n),
+        t_losses_sym=np.zeros(n),
+        r_losses_ransac=np.zeros(n),
+        r_losses_sym=np.zeros(n),
+        sym_ransac_success=sym_ok,
+        chamfer_dist_ransac=cd_ransac,
+        chamfer_dist_sym=cd_best,
+    )
+
+
+def fill_pose_losses(
+    results: RegistrationResults,
+    T0s: np.ndarray,
+    T1s: np.ndarray,
+    syms: Sequence[int],
+) -> RegistrationResults:
+    """Compute RRE/RTE for both transforms (``evaluation.py:315-318``)."""
+    n = len(results.Ts_est_best)
+    for i in range(n):
+        t_r, r_r = eval_pose(
+            results.Ts_est_ransac[i], T0s[i], T1s[i], int(syms[i])
+        )
+        t_s, r_s = eval_pose(
+            results.Ts_est_best[i], T0s[i], T1s[i], int(syms[i])
+        )
+        results.t_losses_ransac[i] = t_r
+        results.r_losses_ransac[i] = r_r
+        results.t_losses_sym[i] = t_s
+        results.r_losses_sym[i] = r_s
+    return results

@@ -1,0 +1,130 @@
+"""Multi-chip dry-run: the full sharded training step on a virtual mesh.
+
+Used by ``__graft_entry__.dryrun_multichip``: builds an n-device
+``(data, model)`` mesh, shards a triplet training batch over ``data`` and
+the embedding head over ``model``, and executes one optimization step
+(forward + point-contrastive + descriptor-triplet losses + grads + optax
+update) end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from corsair_tpu.core.sparse import SENTINEL, SparseGrid
+from corsair_tpu.nn import heads, resunet
+from corsair_tpu.nn.layers import l2_normalize
+from corsair_tpu.parallel.mesh import make_mesh, shard_params
+from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+from corsair_tpu.train.loss import (
+    descriptor_triplet_loss,
+    point_contrastive_loss,
+)
+from corsair_tpu.train.trainer import TrainConfig, make_optimizer
+
+
+def _cloud_grid(coords, valid):
+    return SparseGrid(
+        coords=jnp.where(valid[:, None], coords, SENTINEL),
+        batch=jnp.where(valid, 0, 1).astype(jnp.int32),
+        feats=valid[:, None].astype(jnp.float32),
+        valid=valid,
+        stride=1,
+        num_batches=1,
+    )
+
+
+def dryrun_train_step(n_devices: int, batch_per_device: int = 1,
+                      cap: int = 128, pair_cap: int = 64,
+                      seed: int = 0) -> float:
+    """Returns the scalar loss of one sharded training step."""
+    n_model = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
+    n_data = n_devices // n_model
+    B = n_data * batch_per_device
+
+    extractor = FeatureExtractor(ExtractorConfig())
+    key = jax.random.PRNGKey(seed)
+    params = extractor.init_params(key)
+    params = shard_params(params, mesh)
+    train_cfg = TrainConfig()
+    opt = make_optimizer(train_cfg)
+    opt_state = opt.init(params)
+
+    rng = np.random.RandomState(seed)
+
+    def rand_cloud():
+        pts = rng.randn(cap, 3).astype(np.float32)
+        grid = np.floor(pts / 0.2).astype(np.int32)
+        _, first = np.unique(grid, axis=0, return_index=True)
+        keep = np.sort(first)[: cap]
+        coords = np.full((cap, 3), 0, np.int32)
+        valid = np.zeros(cap, bool)
+        coords[: len(keep)] = grid[keep]
+        valid[: len(keep)] = True
+        return coords, valid
+
+    def stack_role():
+        cs, vs = zip(*[rand_cloud() for _ in range(B)])
+        return np.stack(cs), np.stack(vs)
+
+    base_c, base_v = stack_role()
+    pos_c, pos_v = stack_role()
+    neg_c, neg_v = stack_role()
+    pairs = rng.randint(0, cap // 2, size=(B, pair_cap, 2)).astype(np.int32)
+    pair_v = np.ones((B, pair_cap), bool)
+
+    data_sharded = NamedSharding(mesh, P("data"))
+    put = lambda x: jax.device_put(jnp.asarray(x), data_sharded)
+    args = tuple(map(put, (base_c, base_v, pos_c, pos_v, neg_c, neg_v,
+                           pairs, pair_v)))
+
+    model_cfg = extractor.model_cfg
+    manager = extractor.manager
+
+    def forward_cloud(p, coords, valid):
+        grid = _cloud_grid(coords, valid)
+        maps = manager.build(grid)
+        feats, bottleneck = resunet.forward(p["model"], grid, maps,
+                                            model_cfg)
+        l4 = maps.levels[3]
+        desc = heads.conv1_max_embedding_apply(
+            p["embedding"], bottleneck, l4.batch, l4.valid, 1
+        )
+        return feats, l2_normalize(desc, axis=1)[0]
+
+    def loss_fn(p, base_c, base_v, pos_c, pos_v, neg_c, neg_v, pairs,
+                pair_v):
+        base_f, base_d = jax.vmap(
+            lambda c, v: forward_cloud(p, c, v)
+        )(base_c, base_v)
+        pos_f, pos_d = jax.vmap(
+            lambda c, v: forward_cloud(p, c, v)
+        )(pos_c, pos_v)
+        neg_f, neg_d = jax.vmap(
+            lambda c, v: forward_cloud(p, c, v)
+        )(neg_c, neg_v)
+        l_pair = jnp.mean(jax.vmap(
+            lambda fa, fb, pp, pv: point_contrastive_loss(
+                fa, fb, pp, pv, pp, pv
+            )
+        )(base_f, pos_f, pairs, pair_v))
+        l_trip = descriptor_triplet_loss(base_d, pos_d, neg_d)
+        return l_pair + l_trip
+
+    @jax.jit
+    def step(p, s, *batch):
+        loss, grads = jax.value_and_grad(loss_fn)(p, *batch)
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return p, s, loss
+
+    params, opt_state, loss = step(params, opt_state, *args)
+    jax.block_until_ready(loss)
+    return float(loss)

@@ -35,7 +35,7 @@ class ExtractorConfig:
     embed_linear1: int = 512
     embed_linear2: int = 256
     normalize_descriptor: bool = True  # evaluation.py:231
-    level_cap_ratios: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.2)
+    level_cap_ratios: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
 
 
 class FeatureExtractor:

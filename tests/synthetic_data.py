@@ -1,0 +1,135 @@
+"""Synthetic Scan2CAD/ShapeNet data tree for integration tests.
+
+Builds the exact on-disk schema the reference consumes: the
+ShapeNetCore.v2.PC15k layout, Scan2CAD_pc object files named
+``SceneID.NumModel.CatId.ModelId.npy``, ``full_annotations.json`` +
+``unique_cads.csv``, and the config artifacts (CD table with diag 200,
+sym labels, fix_trans.npy, scene split lists).
+"""
+
+import json
+import os
+
+import numpy as np
+
+CATID = "03001627"
+
+
+def make_shape(rng, kind, n=400):
+    """Distinct shapes so retrieval has signal."""
+    if kind == 0:  # box shell
+        pts = rng.uniform(-1, 1, (n, 3))
+        axis = rng.randint(0, 3, n)
+        sign = rng.choice([-1.0, 1.0], n)
+        pts[np.arange(n), axis] = sign
+    elif kind == 1:  # sphere
+        pts = rng.randn(n, 3)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    elif kind == 2:  # cylinder
+        theta = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack(
+            [np.cos(theta), rng.uniform(-1, 1, n), np.sin(theta)], 1
+        )
+    else:  # two lobes
+        half = n // 2
+        pts = np.concatenate([
+            rng.randn(half, 3) * 0.2 + [0.8, 0, 0],
+            rng.randn(n - half, 3) * 0.2 + [-0.8, 0, 0],
+        ])
+    return (pts + rng.randn(n, 3) * 0.01).astype(np.float64)
+
+
+def build_tree(root, n_cads=6, n_scans=4, n_points=400, seed=0):
+    """Returns dict of paths: shapenet_root, scan_root, annotation_root,
+    config_dir."""
+    rng = np.random.RandomState(seed)
+    shapenet = os.path.join(root, "ShapeNetCore.v2.PC15k")
+    scans = os.path.join(root, "Scan2CAD_pc")
+    annos = os.path.join(root, "Scan2CAD_annotations")
+    configs = os.path.join(root, "configs")
+    for d in (scans, annos, configs):
+        os.makedirs(d, exist_ok=True)
+
+    model_ids = [f"model{i:04d}" for i in range(n_cads)]
+    cad_pcs = {}
+    for i, mid in enumerate(model_ids):
+        split = ["train", "val", "test"][i % 3]
+        d = os.path.join(shapenet, CATID, split)
+        os.makedirs(d, exist_ok=True)
+        pc = make_shape(rng, i % 4, n_points)
+        cad_pcs[mid] = pc
+        np.save(os.path.join(d, f"{mid}.npy"), pc)
+    # every split dir must exist for path_dict
+    for split in ("train", "val", "test"):
+        os.makedirs(os.path.join(shapenet, CATID, split), exist_ok=True)
+
+    # scan objects: a transformed copy of a CAD model + noise
+    annotations = []
+    scan_files = []
+    scene_ids = []
+    for s in range(n_scans):
+        scene = f"scene{s:04d}_00"
+        scene_ids.append(scene)
+        mid = model_ids[s % n_cads]
+        base = cad_pcs[mid]
+        # scan pose and cad pose (quaternion w,x,y,z)
+        t_scan = rng.uniform(-0.2, 0.2, 3).tolist()
+        t_cad = rng.uniform(-0.2, 0.2, 3).tolist()
+        trs_scan = {"translation": t_scan, "rotation": [1, 0, 0, 0],
+                    "scale": [1, 1, 1]}
+        trs_cad = {"translation": t_cad, "rotation": [1, 0, 0, 0],
+                   "scale": [1, 1, 1]}
+        fname = f"{scene}.0.{CATID}.{mid}.npy"
+        scan_files.append(fname)
+        scan_pc = base + rng.randn(*base.shape) * 0.01
+        np.save(os.path.join(scans, fname), scan_pc)
+        annotations.append({
+            "id_scan": scene,
+            "trs": trs_scan,
+            "aligned_models": [{"trs": trs_cad}],
+        })
+    with open(os.path.join(annos, "full_annotations.json"), "w") as f:
+        json.dump(annotations, f)
+    with open(os.path.join(annos, "unique_cads.csv"), "w") as f:
+        for mid in model_ids:
+            f.write(f"{CATID},{mid}\n")
+
+    # configs: scene splits — first scene goes to train, rest to val(test)
+    with open(os.path.join(configs, "scannet_train.txt"), "w") as f:
+        f.write(scene_ids[0] + "\n")
+    with open(os.path.join(configs, "scannet_val.txt"), "w") as f:
+        f.write("\n".join(scene_ids[1:]) + "\n")
+    with open(os.path.join(configs, "scannet_omit.txt"), "w") as f:
+        f.write("")
+
+    # CD table with diag 200 (configs convention)
+    table = rng.rand(n_cads, n_cads) * 0.3
+    table = (table + table.T) / 2
+    table[np.arange(n_cads), np.arange(n_cads)] = 200.0
+    np.save(os.path.join(configs, f"{CATID}_scan2cad.npy"), table)
+
+    # sym labels
+    with open(os.path.join(configs,
+                           f"{CATID}_scan2cad_rot_sym_label.txt"), "w") as f:
+        for i, mid in enumerate(model_ids):
+            f.write(f"{mid} {[1, 2, 4, 1][i % 4]}\n")
+
+    # fixed eval rotations [N, 3, 4, 4]
+    from corsair_tpu.ops.transforms import random_rotation
+    fix = np.zeros((2000, 3, 4, 4))
+    r2 = np.random.RandomState(7)
+    for i in range(50):
+        for j in range(3):
+            _, T = random_rotation(np.zeros((1, 3)), r2)
+            fix[i, j] = T
+    fix[50:] = np.eye(4)
+    np.save(os.path.join(configs, "fix_trans.npy"), fix)
+
+    return {
+        "shapenet_root": shapenet,
+        "scan_root": scans,
+        "annotation_root": annos,
+        "config_dir": configs,
+        "model_ids": model_ids,
+        "scan_files": scan_files,
+    }
