@@ -41,11 +41,16 @@ from corsair_tpu.core.sparse import (
 
 
 def kernel_offsets(kernel_size: int = 3, ndim: int = 3) -> np.ndarray:
-    """Integer kernel offsets, dim-0 fastest. ``[K, ndim]`` with K=k^ndim."""
-    if kernel_size % 2 != 1:
-        raise ValueError("only odd kernel sizes supported")
-    half = kernel_size // 2
-    rng = np.arange(-half, half + 1, dtype=np.int32)
+    """Integer kernel offsets, dim-0 fastest. ``[K, ndim]`` with K=k^ndim.
+
+    Odd kernels are centered (offsets -k//2..k//2); even kernels span
+    [0, k) from the output coordinate (ME pooling convention).
+    """
+    if kernel_size % 2 == 1:
+        half = kernel_size // 2
+        rng = np.arange(-half, half + 1, dtype=np.int32)
+    else:
+        rng = np.arange(0, kernel_size, dtype=np.int32)
     grids = np.meshgrid(*([rng] * ndim), indexing="ij")
     # dim-0 fastest: stack then reshape in Fortran order over dim 0.
     offs = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
@@ -114,12 +119,14 @@ def neighbor_table(
     return idx.reshape(k, m)
 
 
-def downsample_coords(coords, batch, valid, stride: int, out_capacity: int):
-    """Coarsen a coordinate set by 2x: ``unique(floor(c / 2t) * 2t)``.
+def downsample_coords(coords, batch, valid, stride: int, out_capacity: int,
+                      factor: int = 2):
+    """Coarsen a coordinate set by ``factor``:
+    ``unique(floor(c / (factor*t)) * factor*t)``.
 
     Returns (coords, batch, valid) with ``out_capacity`` rows.
     """
-    t2 = stride * 2
+    t2 = stride * factor
     coarse = jnp.where(
         valid[:, None], (jnp.floor_divide(coords, t2)) * t2, SENTINEL
     )
@@ -129,6 +136,27 @@ def downsample_coords(coords, batch, valid, stride: int, out_capacity: int):
     out_batch = jnp.where(kept, batch[perm], SENTINEL)[:out_capacity]
     out_valid = kept[:out_capacity]
     return out_coords, out_batch, out_valid
+
+
+def strided_conv_map(coords, batch, valid, stride_in: int, stride: int,
+                     kernel_size: int, out_capacity: int):
+    """Generic strided conv: output coordinate set + neighbor table.
+
+    Returns ((out_coords, out_batch, out_valid, stride_out), table) where
+    ``table`` is [K, out_capacity] into the input rows. ``stride == 1``
+    reuses the input coordinate set.
+    """
+    offs = kernel_offsets(kernel_size)
+    if stride == 1:
+        table = neighbor_table(coords, batch, valid, coords, batch, valid,
+                               offs, stride_in)
+        return (coords, batch, valid, stride_in), table
+    oc, ob, ov = downsample_coords(
+        coords, batch, valid, stride_in, out_capacity, factor=stride
+    )
+    table = neighbor_table(coords, batch, valid, oc, ob, ov, offs,
+                           stride_in)
+    return (oc, ob, ov, stride_in * stride), table
 
 
 def level_occupancy(maps: "UNetMaps"):

@@ -31,6 +31,19 @@ def voxelize_np(points: np.ndarray, voxel_size: float):
     return points[kept_idx], grid[kept_idx], kept_idx
 
 
+def voxelize_host(points: np.ndarray, voxel_size: float):
+    """Host quantization, preferring the native C++ runtime (~10x faster
+    than numpy); identical first-occurrence semantics."""
+    try:
+        from corsair_tpu import runtime
+
+        if runtime.available():
+            return runtime.voxelize(points, voxel_size)
+    except ImportError:
+        pass
+    return voxelize_np(points, voxel_size)
+
+
 def sparse_collate_np(
     coords_list: List[np.ndarray],
     feats_list: List[np.ndarray],

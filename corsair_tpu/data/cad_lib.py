@@ -17,7 +17,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from corsair_tpu.core.sparse import SENTINEL
-from corsair_tpu.core.voxelize import sparse_collate_np, voxelize_np
+from corsair_tpu.core.voxelize import sparse_collate_np, voxelize_host
 from corsair_tpu.data.readers import load_norm_pc, load_raw_pc, path_dict
 from corsair_tpu.ops.transforms import apply_transform
 
@@ -59,7 +59,7 @@ class CustomizeCADLib:
     def quant(self, rot_coords: np.ndarray, coords: np.ndarray):
         """Voxel dedup keyed on floor(rot_coords/voxel)
         (``utils/Info/CADLib.py:106-121``)."""
-        _, grid, kept = voxelize_np(rot_coords, self.voxel_size)
+        _, grid, kept = voxelize_host(rot_coords, self.voxel_size)
         return rot_coords[kept], grid, coords[kept]
 
     def __len__(self):

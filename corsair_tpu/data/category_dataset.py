@@ -14,7 +14,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from corsair_tpu.core.voxelize import sparse_collate_np, voxelize_np
+from corsair_tpu.core.voxelize import sparse_collate_np, voxelize_host
 from corsair_tpu.data.pair_mining import (
     generate_rand_negative_pairs,
     get_matching_indices,
@@ -70,7 +70,7 @@ class TripletDatasetBase:
     def quant(self, rot_coords, coords):
         """Dedup on floor(rot/voxel) keys
         (``datasets/CategoryDataset.py:179-197``)."""
-        _, grid, kept = voxelize_np(rot_coords, self.voxel_size)
+        _, grid, kept = voxelize_host(rot_coords, self.voxel_size)
         return rot_coords[kept], grid, coords[kept]
 
     def _getlabel(self, idx):

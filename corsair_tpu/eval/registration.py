@@ -58,7 +58,7 @@ def register_pairs(
     sym_labels: Sequence[int],
     sym_config: SymPoseConfig = SymPoseConfig(),
     batch_size: int = 8,
-    chunk: int = 1024,
+    chunk: int = 512,
     progress=None,
 ) -> RegistrationResults:
     """Register query i against CAD ``cad_indices[i]``.

@@ -120,8 +120,10 @@ def segment_max_pool(feats, batch, valid, num_batches: int):
 
 
 def l2_normalize(feats, axis=-1, eps=1e-12):
-    norm = jnp.linalg.norm(feats, axis=axis, keepdims=True)
-    return feats / jnp.maximum(norm, eps)
+    # rsqrt of clamped squared-norm: finite gradient at exactly-zero rows
+    # (padding), unlike jnp.linalg.norm whose grad is NaN at 0.
+    sq = jnp.sum(feats * feats, axis=axis, keepdims=True)
+    return feats * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def linear(params, x):

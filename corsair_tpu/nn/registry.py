@@ -53,8 +53,24 @@ def _register_simpleunets():
         )
 
 
+def _register_resnets():
+    from corsair_tpu.nn import resnet as _resnet
+
+    for name in _resnet.VARIANTS:
+        def make_cfg(name=name, **kw):
+            return _resnet.make_config(name, **kw)
+        MODELS[name] = ModelDef(
+            name=name,
+            make_config=make_cfg,
+            init=_resnet.init_params,
+            forward=_resnet.forward,
+            family="resnet",
+        )
+
+
 _register_resunets()
 _register_simpleunets()
+_register_resnets()
 
 
 def load_model(name: str) -> ModelDef:

@@ -3,11 +3,14 @@
 TPU-native replacement for Open3D's
 ``registration_ransac_based_on_correspondence`` (C++/OpenMP,
 ``utils/eval_pose.py:82-100``). Instead of a sequential hypothesis loop,
-all hypotheses are drawn, solved (batched Kabsch SVD) and scored (tiled
-inlier count over all correspondences) in one program; the winner is chosen
-by (inlier count, -rmse), mirroring Open3D's (fitness, -inlier_rmse)
-ranking. A final weighted refit on the winner's inliers sharpens the pose
-(Open3D achieves a similar effect through its high iteration count).
+all hypotheses are drawn, solved (batched Kabsch SVD) and scored (inlier
+count over all correspondences) in one program; the winner is chosen by
+(inlier count, -rmse), mirroring Open3D's (fitness, -inlier_rmse)
+ranking. A final refit on the winner's inliers sharpens the pose.
+
+Scoring is chunked over hypotheses (``score_chunk``) so peak memory is
+``score_chunk x M`` per instance instead of ``num_hypotheses x M`` —
+essential when this runs under vmap over queries/shifts.
 
 Fully deterministic under a ``jax.random`` key.
 """
@@ -28,7 +31,8 @@ class RansacConfig:
     num_hypotheses: int = 4096
     sample_size: int = 10          # ransac_n=10, utils/eval_pose.py:96
     max_corr_dist: float = 0.2     # evaluation.py Config.max_corr
-    refine_iters: int = 2          # IRLS refits on inliers of the winner
+    refine_iters: int = 2          # refits on inliers of the winner
+    score_chunk: int = 512         # hypotheses scored per step
 
 
 def _score_all(T, src, dst, valid, max_dist2):
@@ -49,31 +53,37 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
     list, as the reference builds via ``find_kcorr``); ``valid``: [M] mask
     for padding. Returns (T [4,4], inlier_count, rmse).
     """
-    m = src.shape[0]
     h = config.num_hypotheses
     s = config.sample_size
+    chunk = min(config.score_chunk, h)
+    n_chunks = -(-h // chunk)
+    h_padded = n_chunks * chunk
     max_d2 = jnp.float32(config.max_corr_dist**2)
 
     # Sample only among valid correspondences: draw from [0, n_valid) in a
     # compacted index space.
     order = jnp.argsort(~valid)  # valid rows first
     n_valid = jnp.maximum(jnp.sum(valid), 1)
-    raw = jax.random.randint(key, (h, s), 0, 2**31 - 1)
-    samp = order[raw % n_valid]                      # [h, s]
+    raw = jax.random.randint(key, (h_padded, s), 0, 2**31 - 1)
+    samp = order[raw % n_valid]                      # [h_padded, s]
 
-    src_h = src[samp]                                # [h, s, 3]
-    dst_h = dst[samp]
+    def solve_and_score_chunk(samp_chunk):
+        src_h = src[samp_chunk]                      # [chunk, s, 3]
+        dst_h = dst[samp_chunk]
+        Ts = jax.vmap(lambda a, b: kabsch_umeyama(a, b))(src_h, dst_h)
+        counts, sses = jax.vmap(
+            lambda T: _score_all(T, src, dst, valid, max_d2)
+        )(Ts)
+        rmse = jnp.sqrt(sses / jnp.maximum(counts, 1))
+        score = counts.astype(jnp.float32) - rmse / (rmse + 1.0)
+        best = jnp.argmax(score)
+        return Ts[best], score[best]
 
-    Ts = jax.vmap(lambda a, b: kabsch_umeyama(a, b))(src_h, dst_h)
-
-    counts, sses = jax.vmap(
-        lambda T: _score_all(T, src, dst, valid, max_d2)
-    )(Ts)
-    rmse = jnp.sqrt(sses / jnp.maximum(counts, 1))
-    # Rank by (count, -rmse): pack into one float score.
-    score = counts.astype(jnp.float32) - rmse / (rmse + 1.0)
-    best = jnp.argmax(score)
-    T_best = Ts[best]
+    Ts_best, scores_best = jax.lax.map(
+        solve_and_score_chunk, samp.reshape(n_chunks, chunk, s)
+    )
+    best = jnp.argmax(scores_best)
+    T_best = Ts_best[best]
 
     # Refinement: refit on the winner's inliers (hard weights), repeat.
     def refine(T, _):

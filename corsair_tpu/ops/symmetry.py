@@ -210,17 +210,18 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
     dsts = jnp.concatenate([dst_all[None], dsts_s], axis=0)
     vs = jnp.concatenate([cvalid[None], vs_s], axis=0)
 
-    Ts, counts, rmses = jax.vmap(
-        lambda kk, s, d, v: ransac_correspondences(kk, s, d, v, rcfg)
-    )(r_keys, srcs, dsts, vs)
-
-    # ---- Chamfer scoring (1-direction, utils/preprocess.py:67-70)
-    def cd(T):
+    # Sequential over the S+1 candidate correspondence sets (bounds peak
+    # memory; each RANSAC is itself hypothesis-parallel), Chamfer scoring
+    # fused into the same step.
+    def one_candidate(args):
+        kk, s, d, v = args
+        T, cnt, rmse = ransac_correspondences(kk, s, d, v, rcfg)
         moved = xyz0 @ T[:3, :3].T + T[:3, 3]
         dmin = _min_nn_dists(moved, xyz1, v0, v1, chunk)
-        return jnp.sum(dmin) / jnp.maximum(jnp.sum(v0), 1)
+        cdist = jnp.sum(dmin) / jnp.maximum(jnp.sum(v0), 1)
+        return T, cdist
 
-    cds = jax.vmap(cd)(Ts)
+    Ts, cds = jax.lax.map(one_candidate, (r_keys, srcs, dsts, vs))
 
     T_ransac = Ts[0]
     cd_ransac = cds[0]

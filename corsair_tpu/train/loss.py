@@ -29,7 +29,8 @@ def point_contrastive_loss(
     def pair_dist(pairs):
         a = featsA[pairs[:, 0]]
         b = featsB[pairs[:, 1]]
-        return jnp.linalg.norm(a - b + 1e-12, axis=1)
+        sq = jnp.sum((a - b) ** 2, axis=1)
+        return jnp.sqrt(jnp.maximum(sq, 1e-24))
 
     dpos = pair_dist(pos_pairs)
     dneg = pair_dist(neg_pairs)
@@ -46,6 +47,8 @@ def point_contrastive_loss(
 def descriptor_triplet_loss(anchor, positive, negative,
                             margin: float = 0.3):
     """Triplet hinge on global descriptors [B, D]."""
-    dpos = jnp.linalg.norm(anchor - positive + 1e-12, axis=1)
-    dneg = jnp.linalg.norm(anchor - negative + 1e-12, axis=1)
+    dpos = jnp.sqrt(jnp.maximum(
+        jnp.sum((anchor - positive) ** 2, axis=1), 1e-24))
+    dneg = jnp.sqrt(jnp.maximum(
+        jnp.sum((anchor - negative) ** 2, axis=1), 1e-24))
     return jnp.mean(jnp.maximum(dpos - dneg + margin, 0.0))
