@@ -76,6 +76,41 @@ def lexsort_keys(keys, payloads=()):
     return out[: len(keys)], out[len(keys):]
 
 
+# Coordinate packing: (batch, x, y, z) -> two sortable words. Voxel
+# coordinates fit comfortably in 16 bits (|c| < 32768 means a >900-voxel
+# extent at stride 1); batch ids fit in 15. Halving the number of sort
+# keys roughly halves the comparator cost of every bitonic sort pass on
+# TPU — the coordinate manager's dominant cost.
+def pack_keys(keys):
+    """int32 key tuple -> (hi int32, lo uint32) with sentinel rows mapped
+    to the maximum packed value. Pure 32-bit arithmetic.
+
+    4-tuples (batch, x, y, z) use the 15/16-bit coordinate packing; lower
+    arities are zero-extended to 4 components first.
+    """
+    if len(keys) < 4:
+        zeros = jnp.zeros_like(keys[0])
+        keys = (zeros,) * (4 - len(keys)) + tuple(keys)
+        # sentinel detection must look at the original leading key
+        b, x, y, z = keys
+        is_sent = jnp.zeros(b.shape, bool)
+        for k in keys:
+            is_sent |= k == SENTINEL
+        b = jnp.where(is_sent, SENTINEL, b)
+        keys = (b, x, y, z)
+    b, x, y, z = keys
+    is_sent = b == SENTINEL
+    b_ = jnp.where(is_sent, 0, b)
+    x_ = jnp.where(is_sent, 0, x) + 32768
+    y_ = (jnp.where(is_sent, 0, y) + 32768).astype(jnp.uint32)
+    z_ = (jnp.where(is_sent, 0, z) + 32768).astype(jnp.uint32)
+    hi = b_ * 65536 + x_                      # b < 2^15, x_ < 2^16
+    lo = y_ * jnp.uint32(65536) + z_          # full uint32 range
+    hi = jnp.where(is_sent, jnp.int32(2**31 - 1), hi)
+    lo = jnp.where(is_sent, jnp.uint32(2**32 - 1), lo)
+    return hi, lo
+
+
 def lookup_sorted(table_keys, query_keys, table_capacity: int):
     """Sort-merge join: for each query key, the index of the matching table row.
 
@@ -91,9 +126,10 @@ def lookup_sorted(table_keys, query_keys, table_capacity: int):
     n = table_keys[0].shape[0]
     m = query_keys[0].shape[0]
 
-    keys = tuple(
-        jnp.concatenate([tk, qk]) for tk, qk in zip(table_keys, query_keys)
-    )
+    thi, tlo = pack_keys(table_keys)
+    qhi, qlo = pack_keys(query_keys)
+    hi = jnp.concatenate([thi, qhi])
+    lo = jnp.concatenate([tlo, qlo])
     # Tiebreaker: table rows (0) sort before query rows (1) within a key group.
     flag = jnp.concatenate(
         [jnp.zeros((n,), jnp.int32), jnp.ones((m,), jnp.int32)]
@@ -102,10 +138,9 @@ def lookup_sorted(table_keys, query_keys, table_capacity: int):
     payload = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
     )
-    sorted_all, (s_flag, s_payload) = lexsort_keys(
-        keys + (flag,), (flag, payload)
+    s_hi, s_lo, s_flag, s_payload = jax.lax.sort(
+        (hi, lo, flag, payload), num_keys=3, is_stable=True
     )
-    s_keys = sorted_all[:-1]  # drop the flag key component
 
     # Latest table-row *position* so far (positions are monotone, so cummax
     # returns the nearest preceding table row).
@@ -116,10 +151,10 @@ def lookup_sorted(table_keys, query_keys, table_capacity: int):
     safe_pos = jnp.maximum(latest_table_pos, 0)
     cand_row = s_payload[safe_pos]  # table row index of candidate
     match = latest_table_pos >= 0
-    for k_component in s_keys:
-        match &= k_component[safe_pos] == k_component
+    match &= s_hi[safe_pos] == s_hi
+    match &= s_lo[safe_pos] == s_lo
     # Sentinel (padding) rows must never match each other.
-    match &= s_keys[0] != SENTINEL
+    match &= s_hi != jnp.int32(2**31 - 1)
     result_sorted = jnp.where(match, cand_row, jnp.int32(table_capacity))
 
     # Scatter back to query order; non-query rows target index m → dropped.
@@ -144,23 +179,26 @@ def unique_compact(keys, capacity: int):
     """
     n = keys[0].shape[0]
     order = jnp.arange(n, dtype=jnp.int32)
-    s_keys, (s_order,) = lexsort_keys(keys, (order,))
+    hi, lo = pack_keys(keys)
+    s_hi, s_lo, s_order = jax.lax.sort(
+        (hi, lo, order), num_keys=2, is_stable=True
+    )
 
     # Head of each equal-key run, ignoring runs of sentinel padding.
     head = jnp.ones((n,), bool)
-    same_as_prev = jnp.ones((n,), bool)
-    for k_component in s_keys:
-        same_as_prev &= k_component == jnp.roll(k_component, 1)
+    same_as_prev = (s_hi == jnp.roll(s_hi, 1)) & (s_lo == jnp.roll(s_lo, 1))
     head = head.at[1:].set(~same_as_prev[1:])
-    is_sentinel = s_keys[0] == SENTINEL
+    is_sentinel = s_hi == jnp.int32(2**31 - 1)
     # Within each run, keep the smallest original index (first occurrence):
     # stable sort already puts the smallest original order first in each run.
     keep = head & ~is_sentinel
 
     # Compact kept rows to the front, preserving key-sorted order.
-    front_rank = jnp.where(keep, 0, 1).astype(jnp.int32)
-    _, (perm, kept_sorted) = lexsort_keys(
-        (front_rank, jnp.arange(n, dtype=jnp.int32)),
-        (s_order, keep.astype(jnp.int32)),
+    # Single packed key: kept rows (bit 31 clear) before dropped ones.
+    pos = jnp.arange(n, dtype=jnp.int32)
+    front_key = jnp.where(keep, pos, pos + jnp.int32(2**30))
+    _, perm, kept_sorted = jax.lax.sort(
+        (front_key, s_order, keep.astype(jnp.int32)),
+        num_keys=1, is_stable=True,
     )
     return perm, kept_sorted.astype(bool)

@@ -43,3 +43,61 @@ def kabsch_umeyama(src, dst, weights=None):
 
 
 kabsch_batched = jax.vmap(kabsch_umeyama, in_axes=(0, 0, None))
+
+
+def kabsch_quaternion(src, dst, weights=None, power_iters: int = 50):
+    """Horn's closed-form quaternion alignment — SVD-free.
+
+    Builds the 4x4 symmetric quaternion matrix from the cross-covariance
+    and extracts its dominant eigenvector with fixed-count shifted power
+    iteration: pure matmuls/elementwise ops, which vectorize far better
+    on TPU than batched 3x3 SVD (the RANSAC hypothesis solver's hot op).
+    """
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    if weights is None:
+        w = jnp.ones(src.shape[0], jnp.float32)
+    else:
+        w = weights.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
+    mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
+    cs = src - mu_s
+    cd = dst - mu_d
+    S = (cs * w[:, None]).T @ cd  # S[a, b] = sum w s_a d_b
+
+    sxx, sxy, sxz = S[0, 0], S[0, 1], S[0, 2]
+    syx, syy, syz = S[1, 0], S[1, 1], S[1, 2]
+    szx, szy, szz = S[2, 0], S[2, 1], S[2, 2]
+    N = jnp.array([
+        [sxx + syy + szz, syz - szy, szx - sxz, sxy - syx],
+        [syz - szy, sxx - syy - szz, sxy + syx, szx + sxz],
+        [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
+        [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
+    ])
+    # Shift so the most-positive eigenvalue dominates in magnitude.
+    sigma = jnp.sqrt(jnp.sum(N * N)) + 1e-6
+    M = N + sigma * jnp.eye(4)
+
+    def body(q, _):
+        q = M @ q
+        q = q / jnp.sqrt(jnp.maximum(jnp.sum(q * q), 1e-20))
+        return q, None
+
+    q0 = jnp.array([1.0, 1e-3, 2e-3, 3e-3])
+    q, _ = jax.lax.scan(body, q0, None, length=power_iters)
+
+    qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+    r = jnp.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+         2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+         1 - 2 * (qx * qx + qy * qy)],
+    ])
+    t = mu_d - r @ mu_s
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[:3, :3].set(r)
+    T = T.at[:3, 3].set(t)
+    return T

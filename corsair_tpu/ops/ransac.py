@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from corsair_tpu.ops.kabsch import kabsch_umeyama
+from corsair_tpu.ops.kabsch import kabsch_quaternion, kabsch_umeyama
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,7 +70,9 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
     def solve_and_score_chunk(samp_chunk):
         src_h = src[samp_chunk]                      # [chunk, s, 3]
         dst_h = dst[samp_chunk]
-        Ts = jax.vmap(lambda a, b: kabsch_umeyama(a, b))(src_h, dst_h)
+        # Horn quaternion solve: matmul-only, ~10x faster than batched
+        # 3x3 SVD on TPU; the winner is re-polished by the SVD refit.
+        Ts = jax.vmap(lambda a, b: kabsch_quaternion(a, b))(src_h, dst_h)
         counts, sses = jax.vmap(
             lambda T: _score_all(T, src, dst, valid, max_d2)
         )(Ts)
