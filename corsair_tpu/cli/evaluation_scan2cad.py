@@ -93,11 +93,25 @@ class App(BaseApp):
         )
         return cds
 
+    def write_results(self, path: str = "results"):
+        """Per-file result rows (parity: evaluation-scan2cad.py tail)."""
+        best_matches_idx = np.fromiter(
+            (self.cad_lib.id2idx[i] for i in self.dataset.BestMatches),
+            dtype=np.int64,
+        )
+        with open(path, "w") as f:
+            for file, cd, best, retrieved in zip(
+                self.dataset.files, self.chamfer_dist_list,
+                best_matches_idx, self.retrieved_object_idx,
+            ):
+                f.write(f"{file},{cd},{best},{retrieved}\n")
+
     def run(self):
         self.extract_library()
         self.extract_scans()
         self.eval_retrieval()
         self.rerank_and_eval()
+        self.write_results()
         return self
 
 

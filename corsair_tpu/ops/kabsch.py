@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def kabsch_umeyama(src, dst, weights=None):
@@ -75,17 +76,24 @@ def kabsch_quaternion(src, dst, weights=None, power_iters: int = 50):
         [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
         [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
     ])
-    # Shift so the most-positive eigenvalue dominates in magnitude.
+    # Shift so the most-positive eigenvalue dominates in magnitude, then
+    # extract the dominant eigenvector via repeated matrix squaring
+    # (M^(2^k) q0): log2 steps instead of a long power-iteration scan,
+    # with Frobenius normalization between squarings for f32 range.
     sigma = jnp.sqrt(jnp.sum(N * N)) + 1e-6
-    M = N + sigma * jnp.eye(4)
+    M = (N + sigma * jnp.eye(4)) / sigma
 
-    def body(q, _):
-        q = M @ q
-        q = q / jnp.sqrt(jnp.maximum(jnp.sum(q * q), 1e-20))
-        return q, None
+    def square(M, _):
+        M = M @ M
+        M = M / jnp.sqrt(jnp.maximum(jnp.sum(M * M), 1e-30))
+        return M, None
+
+    n_squarings = max(1, int(np.ceil(np.log2(max(power_iters, 2)))))
+    M, _ = jax.lax.scan(square, M, None, length=n_squarings, unroll=True)
 
     q0 = jnp.array([1.0, 1e-3, 2e-3, 3e-3])
-    q, _ = jax.lax.scan(body, q0, None, length=power_iters)
+    q = M @ q0
+    q = q / jnp.sqrt(jnp.maximum(jnp.sum(q * q), 1e-20))
 
     qw, qx, qy, qz = q[0], q[1], q[2], q[3]
     r = jnp.array([

@@ -98,10 +98,12 @@ class FeatureExtractor:
         feats, desc = self.extract(params, grid)
         feats = np.asarray(feats)
         desc = np.asarray(desc)
-        batch = np.asarray(grid.batch)
-        valid = np.asarray(grid.valid)
+        # collate packs clouds contiguously in order: split by offsets
+        counts = np.asarray([len(c) for c in coords_list])
+        offsets = np.concatenate([[0], np.cumsum(counts)])
         per_cloud = [
-            feats[(batch == i) & valid] for i in range(len(coords_list))
+            feats[offsets[i] : offsets[i + 1]]
+            for i in range(len(coords_list))
         ]
         return per_cloud, desc
 
