@@ -18,9 +18,15 @@ estimate — see BASELINE.json north star (>= 10x).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: repeat bench invocations skip the
+# (minutes-long) TPU compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/corsair_jax_cache")
 
 REFERENCE_BASELINE_PCLOUDS_PER_SEC = 1.0
 

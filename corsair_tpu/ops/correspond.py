@@ -12,7 +12,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from corsair_tpu.ops.knn import pairwise_sqdist
+from corsair_tpu.ops.knn import pairwise_sqdist, small_topk_min
 
 _BIG = jnp.float32(1e30)
 
@@ -30,8 +30,8 @@ def find_kcorr(F0, F1, k: int, v0=None, v1=None, chunk: int = 1024):
 
     def body(qc):
         d2 = pairwise_sqdist(qc, F1, v1)
-        _, idx = jax.lax.top_k(-d2, k)
-        return idx.astype(jnp.int32)
+        idx, _ = small_topk_min(d2, k)
+        return idx
 
     idx1 = jax.lax.map(body, q.reshape(-1, chunk, F0.shape[1]))
     idx1 = idx1.reshape(-1, k)[:n0]                      # [N0, k]
@@ -65,8 +65,8 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
 
         def per_sector(mask):
             dm = jnp.where(mask[None, :], d2, _BIG)
-            neg_d, idx = jax.lax.top_k(-dm, k)
-            return idx.astype(jnp.int32), (-neg_d) < _BIG / 2
+            idx, vals = small_topk_min(dm, k)
+            return idx, vals < _BIG / 2
 
         idxs, oks = jax.vmap(per_sector)(sec_mask)  # [S, chunk, k]
         return jnp.transpose(idxs, (1, 0, 2)), jnp.transpose(oks, (1, 0, 2))

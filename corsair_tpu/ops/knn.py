@@ -19,6 +19,26 @@ import jax.numpy as jnp
 _BIG = jnp.float32(1e30)
 
 
+def small_topk_min(d2, k: int):
+    """Smallest-k via k iterative argmin extractions.
+
+    For small k (the k_nn=5 regime) this is far cheaper on TPU than
+    ``lax.top_k``, which lowers to a full row sort: k (reduce + mask)
+    passes instead of log^2(N) bitonic passes. Returns (idx, vals)
+    ascending, first-index tie-break like top_k.
+    """
+    m = d2.shape[0]
+    rows = jnp.arange(m)
+    idxs, vals = [], []
+    for _ in range(k):
+        i = jnp.argmin(d2, axis=1)
+        v = d2[rows, i]
+        idxs.append(i.astype(jnp.int32))
+        vals.append(v)
+        d2 = d2.at[rows, i].set(_BIG)
+    return jnp.stack(idxs, axis=1), jnp.stack(vals, axis=1)
+
+
 def pairwise_sqdist(a, b, b_valid=None):
     """Squared L2 distances ``[N, M]`` via the matmul identity."""
     a = a.astype(jnp.float32)
@@ -70,8 +90,8 @@ def find_knn(query, target, k: int, q_valid=None, t_valid=None,
 
     def body(qc):
         d2 = pairwise_sqdist(qc, target, t_valid)
-        neg_d, idx = jax.lax.top_k(-d2, k)
-        return idx.astype(jnp.int32), -neg_d
+        idx, vals = small_topk_min(d2, k)
+        return idx, vals
 
     idxs, d2s = jax.lax.map(body, q.reshape(-1, chunk, query.shape[1]))
     idx = idxs.reshape(-1, k)[:n]

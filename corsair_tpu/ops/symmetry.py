@@ -211,17 +211,22 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
     vs = jnp.concatenate([cvalid[None], vs_s], axis=0)
 
     # Sequential over the S+1 candidate correspondence sets (bounds peak
-    # memory; each RANSAC is itself hypothesis-parallel), Chamfer scoring
-    # fused into the same step.
+    # memory; each RANSAC is itself hypothesis-parallel)...
     def one_candidate(args):
         kk, s, d, v = args
         T, cnt, rmse = ransac_correspondences(kk, s, d, v, rcfg)
+        return T
+
+    Ts = jax.lax.map(one_candidate, (r_keys, srcs, dsts, vs))
+
+    # ...then all candidates' Chamfer scores in one batched chunked pass
+    # (1-direction, utils/preprocess.py:67-70).
+    def cd(T):
         moved = xyz0 @ T[:3, :3].T + T[:3, 3]
         dmin = _min_nn_dists(moved, xyz1, v0, v1, chunk)
-        cdist = jnp.sum(dmin) / jnp.maximum(jnp.sum(v0), 1)
-        return T, cdist
+        return jnp.sum(dmin) / jnp.maximum(jnp.sum(v0), 1)
 
-    Ts, cds = jax.lax.map(one_candidate, (r_keys, srcs, dsts, vs))
+    cds = jax.vmap(cd)(Ts)
 
     T_ransac = Ts[0]
     cd_ransac = cds[0]
