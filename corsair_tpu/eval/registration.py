@@ -44,6 +44,16 @@ def _sym_pose_batch(keys, f0, x0, v0, f1, x1, v1, config, chunk):
     )(keys, f0, x0, v0, f1, x1, v1)
 
 
+def _shard_batch(arrays, mesh):
+    """Shard the query axis of a registration batch over the mesh's
+    ``data`` axis — queries are independent, so multi-chip scaling is
+    pure data parallelism with no collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
@@ -60,6 +70,7 @@ def register_pairs(
     batch_size: int = 8,
     chunk: int = 512,
     progress=None,
+    mesh=None,
 ) -> RegistrationResults:
     """Register query i against CAD ``cad_indices[i]``.
 
@@ -110,11 +121,13 @@ def register_pairs(
                 [cad_xyz[int(cad_indices[i])] for i in pad_sel], cap_c
             )
             bkeys = jnp.stack([keys[i] for i in pad_sel])
+            args = (bkeys, jnp.asarray(f0), jnp.asarray(x0),
+                    jnp.asarray(v0), jnp.asarray(f1), jnp.asarray(x1),
+                    jnp.asarray(v1))
+            if mesh is not None:
+                args = _shard_batch(args, mesh)
             T_b, cd_b, T_r, cd_r, ok = _sym_pose_batch(
-                bkeys,
-                jnp.asarray(f0), jnp.asarray(x0), jnp.asarray(v0),
-                jnp.asarray(f1), jnp.asarray(x1), jnp.asarray(v1),
-                cfg, chunk,
+                *args, cfg, chunk,
             )
             Ts_best[sel] = np.asarray(T_b)[:bsz]
             Ts_ransac[sel] = np.asarray(T_r)[:bsz]
