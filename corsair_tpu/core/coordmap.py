@@ -159,6 +159,82 @@ def strided_conv_map(coords, batch, valid, stride_in: int, stride: int,
     return (oc, ob, ov, stride_in * stride), table
 
 
+def build_unet_maps_host(coords: np.ndarray, batch: np.ndarray,
+                         capacity: int, num_levels: int = 4,
+                         level_cap_ratios=(1.0, 1.0, 1.0, 1.0),
+                         kernel_size: int = 3,
+                         n_threads: int = 8) -> "UNetMaps":
+    """C++ host-side twin of ``CoordinateManager.build``.
+
+    ``coords``/``batch``: the *valid* rows only (host arrays). Produces a
+    ``UNetMaps`` with exactly the same shapes/semantics as the device
+    builder (padding rows sentinel-filled, miss value == level capacity),
+    so one compiled forward accepts maps from either path. Uses hash maps
+    + threads instead of device sorts — the fast path for the host-driven
+    eval pipeline.
+    """
+    import jax.numpy as jnp
+
+    from corsair_tpu import runtime
+
+    offs = kernel_offsets(kernel_size)
+    caps = [max(8, int(capacity * r)) for r in level_cap_ratios][:num_levels]
+    caps[0] = capacity
+
+    def pad_coords(c, b, cap):
+        out_c = np.full((cap, 3), SENTINEL, np.int32)
+        out_b = np.full((cap,), 2**15 - 1, np.int32)
+        n = min(len(c), cap)
+        out_c[:n] = c[:n]
+        out_b[:n] = b[:n]
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        return out_c, out_b, valid
+
+    per_level = [(np.asarray(coords, np.int32),
+                  np.asarray(batch, np.int32), 1)]
+    stride = 1
+    for lvl in range(1, num_levels):
+        pc, pb, _ = per_level[-1]
+        oc, ob = runtime.downsample(pc, pb, stride * 2, caps[lvl])
+        stride *= 2
+        per_level.append((oc, ob, stride))
+
+    levels = []
+    for lvl, (c, b, t) in enumerate(per_level):
+        cap = caps[lvl]
+        pc_pad, pb_pad, valid = pad_coords(c, b, cap)
+
+        def table(tc, tb, t_cap, qc, qb, q_cap, offsets, dilation):
+            raw = runtime.neighbor_table(
+                tc, tb, qc, qb, offsets, dilation, t_cap,
+                n_threads=n_threads,
+            )  # [K, len(qc)]
+            out = np.full((offsets.shape[0], q_cap), t_cap, np.int32)
+            out[:, : raw.shape[1]] = raw
+            return out
+
+        self_table = table(c, b, cap, c, b, cap, offs, t)
+        if lvl > 0:
+            prev_c, prev_b, prev_t = per_level[lvl - 1]
+            prev_cap = caps[lvl - 1]
+            down = table(prev_c, prev_b, prev_cap, c, b, cap, offs, prev_t)
+            up = table(c, b, cap, prev_c, prev_b, prev_cap, -offs, prev_t)
+        else:
+            down = None
+            up = None
+        levels.append(LevelMaps(
+            coords=jnp.asarray(pc_pad),
+            batch=jnp.asarray(pb_pad),
+            valid=jnp.asarray(valid),
+            self_table=jnp.asarray(self_table),
+            down_table=None if down is None else jnp.asarray(down),
+            up_table=None if up is None else jnp.asarray(up),
+            stride=t,
+        ))
+    return UNetMaps(levels=tuple(levels))
+
+
 def level_occupancy(maps: "UNetMaps"):
     """Valid-voxel count per level — host diagnostic for tuning
     ``level_cap_ratios``. A level whose count equals its capacity may have

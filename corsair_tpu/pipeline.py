@@ -69,9 +69,14 @@ class FeatureExtractor:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def extract(self, params, grid: SparseGrid):
-        """Returns (point_feats [N, out_ch], descriptors [B, 256],
-        bottleneck_valid mask info is carried by the grid/maps)."""
+        """Returns (point_feats [N, out_ch], descriptors [B, 256]).
+        Coordinate maps are built on device (fully jittable path)."""
         maps = self.manager.build(grid)
+        return self.extract_with_maps(params, grid, maps)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def extract_with_maps(self, params, grid: SparseGrid, maps):
+        """Forward + head with precomputed maps (device- or host-built)."""
         feats, bottleneck = resunet.forward(
             params["model"], grid, maps, self.model_cfg
         )
@@ -85,9 +90,15 @@ class FeatureExtractor:
         return feats, desc
 
     def extract_batch_np(self, params, coords_list: List[np.ndarray],
-                         capacity: Optional[int] = None):
+                         capacity: Optional[int] = None,
+                         host_maps: Optional[bool] = None):
         """Host convenience: list of per-cloud voxel coords -> numpy outputs
-        split per cloud."""
+        split per cloud.
+
+        ``host_maps`` selects the C++ hash-map coordinate-manager path
+        (default: on when the native runtime is available) — the jitted
+        forward is shared with the device-built-maps path.
+        """
         feats_list = [
             np.ones((len(c), 1), np.float32) for c in coords_list
         ]
@@ -95,7 +106,25 @@ class FeatureExtractor:
             total = sum(len(c) for c in coords_list)
             capacity = _round_up_bucket(total)
         grid = collate_to_grid(coords_list, feats_list, capacity)
-        feats, desc = self.extract(params, grid)
+        if host_maps is None:
+            from corsair_tpu import runtime
+            host_maps = runtime.available()
+        if host_maps:
+            from corsair_tpu.core.coordmap import build_unet_maps_host
+
+            coords_cat = np.concatenate(coords_list).astype(np.int32)
+            batch_cat = np.concatenate([
+                np.full(len(c), i, np.int32)
+                for i, c in enumerate(coords_list)
+            ])
+            maps = build_unet_maps_host(
+                coords_cat, batch_cat, capacity,
+                num_levels=self.manager.num_levels,
+                level_cap_ratios=self.config.level_cap_ratios,
+            )
+            feats, desc = self.extract_with_maps(params, grid, maps)
+        else:
+            feats, desc = self.extract(params, grid)
         feats = np.asarray(feats)
         desc = np.asarray(desc)
         # collate packs clouds contiguously in order: split by offsets

@@ -130,3 +130,54 @@ def collate(grids: List[np.ndarray], capacity: int,
     if r < 0:
         raise ValueError("capacity overflow in collate")
     return coords, batch, valid.astype(bool)
+
+
+def _bind_kernel_maps(lib):
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    if not hasattr(lib.corsair_downsample, "_bound"):
+        lib.corsair_downsample.restype = ctypes.c_int
+        lib.corsair_downsample.argtypes = [
+            i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+            i32p,
+        ]
+        lib.corsair_neighbor_table.restype = None
+        lib.corsair_neighbor_table.argtypes = [
+            i32p, i32p, ctypes.c_int, i32p, i32p, ctypes.c_int, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+        ]
+        lib.corsair_downsample._bound = True
+
+
+def downsample(coords: np.ndarray, batch: np.ndarray, step: int,
+               capacity: int):
+    """unique(floor(c/step)*step) per batch, first-occurrence order."""
+    lib = _load()
+    assert lib is not None
+    _bind_kernel_maps(lib)
+    n = len(coords)
+    out_c = np.empty((capacity, 3), np.int32)
+    out_b = np.empty(capacity, np.int32)
+    k = lib.corsair_downsample(
+        np.ascontiguousarray(coords, np.int32),
+        np.ascontiguousarray(batch, np.int32), n, step, capacity, out_c,
+        out_b,
+    )
+    return out_c[:k], out_b[:k]
+
+
+def neighbor_table(tcoords, tbatch, qcoords, qbatch, offsets,
+                   dilation: int, miss_value: int, n_threads: int = 8):
+    lib = _load()
+    assert lib is not None
+    _bind_kernel_maps(lib)
+    nt, nq, K = len(tcoords), len(qcoords), len(offsets)
+    out = np.empty((K, nq), np.int32)
+    lib.corsair_neighbor_table(
+        np.ascontiguousarray(tcoords, np.int32),
+        np.ascontiguousarray(tbatch, np.int32), nt,
+        np.ascontiguousarray(qcoords, np.int32),
+        np.ascontiguousarray(qbatch, np.int32), nq,
+        np.ascontiguousarray(offsets, np.int32), K, dilation, miss_value,
+        out, n_threads,
+    )
+    return out

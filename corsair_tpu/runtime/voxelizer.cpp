@@ -106,3 +106,91 @@ int corsair_collate(const int32_t* grids, const int32_t* lengths, int b,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-side kernel-map builder: the C++ twin of core/coordmap.py.
+// Builds downsampled coordinate sets and gather tables with hash maps,
+// threaded over query blocks — the same job MinkowskiEngine's C++
+// coordinate manager does for the reference, feeding the TPU forward
+// pass precomputed tables.
+
+namespace {
+
+inline int32_t floordiv(int32_t a, int32_t b) {
+    return (a >= 0) ? a / b : -((-a + b - 1) / b);
+}
+
+inline uint64_t pack4(int32_t b, int32_t x, int32_t y, int32_t z) {
+    return (static_cast<uint64_t>(static_cast<uint16_t>(b)) << 48) |
+           (static_cast<uint64_t>(static_cast<uint16_t>(x + 32768)) << 32) |
+           (static_cast<uint64_t>(static_cast<uint16_t>(y + 32768)) << 16) |
+           static_cast<uint64_t>(static_cast<uint16_t>(z + 32768));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Coarsen a coordinate set: unique(floor(c / step) * step) per batch,
+// first-occurrence order. Returns count (<= capacity; extra dropped).
+int corsair_downsample(const int32_t* coords, const int32_t* batch,
+                       int n, int step, int capacity,
+                       int32_t* out_coords, int32_t* out_batch) {
+    std::unordered_map<uint64_t, int> seen;
+    seen.reserve(static_cast<size_t>(n) * 2);
+    int kept = 0;
+    for (int i = 0; i < n && kept < capacity; ++i) {
+        const int32_t cx = floordiv(coords[3 * i], step) * step;
+        const int32_t cy = floordiv(coords[3 * i + 1], step) * step;
+        const int32_t cz = floordiv(coords[3 * i + 2], step) * step;
+        const uint64_t key = pack4(batch[i], cx, cy, cz);
+        auto it = seen.emplace(key, kept);
+        if (it.second) {
+            out_coords[3 * kept] = cx;
+            out_coords[3 * kept + 1] = cy;
+            out_coords[3 * kept + 2] = cz;
+            out_batch[kept] = batch[i];
+            ++kept;
+        }
+    }
+    return kept;
+}
+
+// Neighbor gather table: out[k * nq + j] = row of (q[j] + off[k]*dilation)
+// in the table coordinate set, or miss_value. Threaded over queries.
+void corsair_neighbor_table(const int32_t* tcoords, const int32_t* tbatch,
+                            int nt, const int32_t* qcoords,
+                            const int32_t* qbatch, int nq,
+                            const int32_t* offsets, int K, int dilation,
+                            int miss_value, int32_t* out, int n_threads) {
+    std::unordered_map<uint64_t, int32_t> lut;
+    lut.reserve(static_cast<size_t>(nt) * 2);
+    for (int i = 0; i < nt; ++i) {
+        lut.emplace(pack4(tbatch[i], tcoords[3 * i], tcoords[3 * i + 1],
+                          tcoords[3 * i + 2]),
+                    i);
+    }
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int t) {
+        for (int j = t; j < nq; j += n_threads) {
+            const int32_t qb = qbatch[j];
+            const int32_t qx = qcoords[3 * j];
+            const int32_t qy = qcoords[3 * j + 1];
+            const int32_t qz = qcoords[3 * j + 2];
+            for (int k = 0; k < K; ++k) {
+                const uint64_t key = pack4(
+                    qb, qx + offsets[3 * k] * dilation,
+                    qy + offsets[3 * k + 1] * dilation,
+                    qz + offsets[3 * k + 2] * dilation);
+                auto it = lut.find(key);
+                out[static_cast<int64_t>(k) * nq + j] =
+                    (it == lut.end()) ? miss_value : it->second;
+            }
+        }
+    };
+    std::vector<std::thread> ws;
+    for (int t = 0; t < n_threads; ++t) ws.emplace_back(work, t);
+    for (auto& w : ws) w.join();
+}
+
+}  // extern "C"
