@@ -257,17 +257,33 @@ class CoordinateManager:
         num_levels: int = 4,
         kernel_size: int = 3,
         level_cap_ratios: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+        compact_keys: bool = False,
     ):
         self.num_levels = num_levels
         self.kernel_size = kernel_size
         self.level_cap_ratios = tuple(level_cap_ratios)
         self.offsets = kernel_offsets(kernel_size)
+        # Compact path: one uint32 key per voxel -> each level's table is
+        # sorted once and all queries binary-search it. Measured SLOWER on
+        # TPU (searchsorted = sequential random-access gathers, which the
+        # bitonic sort-merge path avoids); kept for CPU/GPU backends.
+        # Requires num_batches <= 32 and coords within [-256, 255].
+        self.compact_keys = compact_keys
 
     def build(self, grid: SparseGrid) -> UNetMaps:
+        from corsair_tpu.core.sparse import (
+            COMPACT_MAX_BATCH,
+            lookup_compact,
+            sort_table_compact,
+        )
+
         cap0 = grid.capacity
         caps = [
             max(8, int(cap0 * r)) for r in self.level_cap_ratios
         ][: self.num_levels]
+        use_compact = (
+            self.compact_keys and grid.num_batches <= COMPACT_MAX_BATCH
+        )
 
         coords, batch, valid = grid.coords, grid.batch, grid.valid
         levels = []
@@ -280,23 +296,42 @@ class CoordinateManager:
             stride *= 2
             per_level.append((coords, batch, valid, stride))
 
+        if use_compact:
+            sorted_tables = [
+                sort_table_compact(_keys(c, b, v))
+                for (c, b, v, _) in per_level
+            ]
+
+            def nt(lvl_table, qc, qb, qv, offsets, dilation):
+                skeys, srows = sorted_tables[lvl_table]
+                k = offsets.shape[0]
+                m = qc.shape[0]
+                qkeys = _offset_queries(
+                    qc, qb, qv, jnp.asarray(offsets), dilation
+                )
+                idx = lookup_compact(
+                    skeys, srows, qkeys,
+                    per_level[lvl_table][0].shape[0],
+                )
+                return idx.reshape(k, m)
+        else:
+            def nt(lvl_table, qc, qb, qv, offsets, dilation):
+                tc, tb, tv, _ = per_level[lvl_table]
+                return neighbor_table(
+                    tc, tb, tv, qc, qb, qv, offsets, dilation
+                )
+
         for lvl, (c, b, v, t) in enumerate(per_level):
-            self_table = neighbor_table(
-                c, b, v, c, b, v, self.offsets, t
-            )
+            self_table = nt(lvl, c, b, v, self.offsets, t)
             if lvl > 0:
                 pc, pb, pv, pt = per_level[lvl - 1]
                 # Stride-2 conv: output voxel at coarse coord y gathers fine
                 # inputs at y + o*t_fine.
-                down_table = neighbor_table(
-                    pc, pb, pv, c, b, v, self.offsets, pt
-                )
+                down_table = nt(lvl - 1, c, b, v, self.offsets, pt)
                 # Transpose conv from this level back to the finer level:
                 # fine output x gathers coarse inputs at x - o*t_fine
                 # (adjoint of the forward pairing, same kernel index).
-                up_table = neighbor_table(
-                    c, b, v, pc, pb, pv, -self.offsets, pt
-                )
+                up_table = nt(lvl, pc, pb, pv, -self.offsets, pt)
             else:
                 down_table = None
                 up_table = None

@@ -95,9 +95,12 @@ class FeatureExtractor:
         """Host convenience: list of per-cloud voxel coords -> numpy outputs
         split per cloud.
 
-        ``host_maps`` selects the C++ hash-map coordinate-manager path
-        (default: on when the native runtime is available) — the jitted
-        forward is shared with the device-built-maps path.
+        ``host_maps`` selects the C++ hash-map coordinate-manager path —
+        the jitted forward is shared with the device-built-maps path.
+        Default off: with the compact-key device builder the on-device
+        path avoids host->device table transfers (which dominate on
+        tunneled TPU setups); enable when running against a local PCIe
+        TPU where host CPU is plentiful.
         """
         feats_list = [
             np.ones((len(c), 1), np.float32) for c in coords_list
@@ -107,8 +110,7 @@ class FeatureExtractor:
             capacity = _round_up_bucket(total)
         grid = collate_to_grid(coords_list, feats_list, capacity)
         if host_maps is None:
-            from corsair_tpu import runtime
-            host_maps = runtime.available()
+            host_maps = False
         if host_maps:
             from corsair_tpu.core.coordmap import build_unet_maps_host
 
