@@ -36,6 +36,11 @@ class ExtractorConfig:
     embed_linear2: int = 256
     normalize_descriptor: bool = True  # evaluation.py:231
     level_cap_ratios: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    # Measure actual coarse-level occupancy on host and shrink level
+    # capacities (bucketed to eighths, 1.25x safety margin): smaller
+    # sorts in the coordinate manager AND fewer wasted rows in every
+    # coarse-level conv. Ratios are cached so recompiles stay bounded.
+    auto_level_caps: bool = True
 
 
 class FeatureExtractor:
@@ -54,6 +59,28 @@ class FeatureExtractor:
         self.manager = CoordinateManager(
             num_levels=4, level_cap_ratios=config.level_cap_ratios
         )
+        self._manager_cache = {config.level_cap_ratios: self.manager}
+
+    def _manager_for(self, ratios: Tuple[float, ...]) -> CoordinateManager:
+        if ratios not in self._manager_cache:
+            self._manager_cache[ratios] = CoordinateManager(
+                num_levels=4, level_cap_ratios=ratios
+            )
+        return self._manager_cache[ratios]
+
+    def _measure_ratios(self, coords_list, capacity: int
+                        ) -> Tuple[float, ...]:
+        """Bucketed per-level occupancy ratios with a 1.25x margin,
+        counted per cloud (clouds overlap spatially)."""
+        ratios = [1.0]
+        for lvl in range(1, 4):
+            step = 2 ** lvl
+            cnt = sum(
+                len(np.unique(g // step, axis=0)) for g in coords_list
+            )
+            r = min(1.0, float(np.ceil(cnt * 1.25 / capacity * 8) / 8))
+            ratios.append(max(r, 0.125))
+        return tuple(ratios)
 
     def init_params(self, key):
         k1, k2 = jax.random.split(key)
@@ -74,6 +101,11 @@ class FeatureExtractor:
         maps = self.manager.build(grid)
         return self.extract_with_maps(params, grid, maps)
 
+    @functools.partial(jax.jit, static_argnames=("self", "manager"))
+    def extract_with_manager(self, params, grid: SparseGrid, manager):
+        maps = manager.build(grid)
+        return self.extract_with_maps(params, grid, maps)
+
     @functools.partial(jax.jit, static_argnames=("self",))
     def extract_with_maps(self, params, grid: SparseGrid, maps):
         """Forward + head with precomputed maps (device- or host-built)."""
@@ -88,6 +120,49 @@ class FeatureExtractor:
         if self.config.normalize_descriptor:
             desc = l2_normalize(desc, axis=1)
         return feats, desc
+
+    @functools.partial(jax.jit, static_argnames=("self", "manager"))
+    def extract_padded(self, params, coords, valid, manager=None):
+        """Per-cloud padded layout: ``coords`` int32 [B, cap, 3],
+        ``valid`` bool [B, cap] -> (feats [B, cap, C], desc [B, D]).
+
+        Each cloud runs as an independent vmapped SparseGrid: coordinate
+        sorts are per-cloud (cap log^2 cap instead of one giant batch
+        sort) and downstream registration can consume the outputs without
+        leaving the device.
+        """
+        from corsair_tpu.core.sparse import SENTINEL
+
+        manager = manager or self.manager
+
+        def one(coords_i, valid_i):
+            grid = SparseGrid(
+                coords=jnp.where(valid_i[:, None], coords_i, SENTINEL),
+                batch=jnp.where(valid_i, 0, 1).astype(jnp.int32),
+                feats=valid_i[:, None].astype(jnp.float32),
+                valid=valid_i,
+                stride=1,
+                num_batches=1,
+            )
+            maps = manager.build(grid)
+            feats, desc = self.extract_with_maps(params, grid, maps)
+            return feats, desc[0]
+
+        return jax.vmap(one)(coords, valid)
+
+    def pad_clouds(self, coords_list: List[np.ndarray],
+                   cap: Optional[int] = None):
+        """[B, cap, 3] int32 + [B, cap] bool from a list of voxel grids."""
+        if cap is None:
+            cap = _round_up_bucket(max(len(c) for c in coords_list))
+        b = len(coords_list)
+        coords = np.zeros((b, cap, 3), np.int32)
+        valid = np.zeros((b, cap), bool)
+        for i, c in enumerate(coords_list):
+            n = min(len(c), cap)
+            coords[i, :n] = c[:n]
+            valid[i, :n] = True
+        return coords, valid
 
     def extract_batch_np(self, params, coords_list: List[np.ndarray],
                          capacity: Optional[int] = None,
@@ -125,6 +200,10 @@ class FeatureExtractor:
                 level_cap_ratios=self.config.level_cap_ratios,
             )
             feats, desc = self.extract_with_maps(params, grid, maps)
+        elif self.config.auto_level_caps:
+            ratios = self._measure_ratios(coords_list, capacity)
+            manager = self._manager_for(ratios)
+            feats, desc = self.extract_with_manager(params, grid, manager)
         else:
             feats, desc = self.extract(params, grid)
         feats = np.asarray(feats)

@@ -46,6 +46,23 @@ def save_checkpoint(model_params, embedding_params, opt_state, epoch: int,
     return path if path.endswith(".npz") else path + ".npz"
 
 
+def save_checkpoint_orbax(path: str, state) -> str:
+    """Orbax backend (sharded/async-capable) for large-scale training."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint_orbax(path: str, template):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
+
+
 def load_checkpoint(path: str, model_template, embedding_template=None,
                     opt_template=None):
     """Returns (model_params, embedding_params, opt_state, epoch)."""
