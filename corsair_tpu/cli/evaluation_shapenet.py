@@ -109,6 +109,18 @@ class App:
         import jax
         import pandas as pd
 
+        # resume from a previous run's CSV + NPZ
+        # (evaluation-shapenet.py:215-224)
+        if os.path.exists(self.csv_file) and os.path.exists(self.npz_file):
+            self.df = pd.read_csv(self.csv_file)
+            with open(self.npz_file, "rb") as f:
+                data = np.load(f)
+                self.poses_gt = data["poses_gt"]
+                self.poses_pred_sym = data["poses_pred_sym"]
+                self.poses_pred_ransac = data["poses_pred_ransac"]
+            self.print_stats()
+            return self.df
+
         cfg = self.config
         rng = np.random.RandomState(cfg.random_seed)
         rows = []

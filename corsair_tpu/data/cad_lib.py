@@ -22,6 +22,27 @@ from corsair_tpu.data.readers import load_norm_pc, load_raw_pc, path_dict
 from corsair_tpu.ops.transforms import apply_transform
 
 
+class CatCADLib:
+    """Whole-category CAD store with the pairwise CD table
+    (``utils/Info/CADLib.py:12-39``)."""
+
+    def __init__(self, root: str, catid: str, table_path: str,
+                 preload: bool = True):
+        from corsair_tpu.data.readers import CategoryLibReader
+
+        self.root, self.catid = root, catid
+        self.preload = preload
+        self.table = np.load(table_path)
+        reader = CategoryLibReader(
+            root, catid, ["train", "test", "val"], 10000, normal=False
+        )
+        if preload:
+            self.CadPcs = [reader[i] for i in range(len(reader))]
+        else:
+            self.CadPcs = reader.files
+        self.id2idx = reader.Id2Index
+
+
 class CustomizeCADLib:
     def __init__(self, root: str, catid: str, ids: List[str],
                  table_path: str, voxel_size: float, preload: bool = True):
