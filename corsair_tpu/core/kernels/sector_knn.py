@@ -1,0 +1,104 @@
+"""Pallas TPU kernel: fused pairwise-distance + per-sector top-k.
+
+The symmetry-aided registration needs, for every query feature, the
+top-k nearest target features *within each of K sectors*
+(``ops/correspond.find_kcorr_per_sector``). The XLA path materializes the
+[chunk, N] distance tile in HBM and re-reads it for every (sector,
+extraction) pass — 1 + K*k passes of HBM traffic. This kernel computes
+the distance tile on the MXU into VMEM and runs all K*k masked argmin
+extractions in VMEM, writing only the [tile, K, k] index/validity
+outputs.
+
+VMEM budget per grid step (tile=256, N<=8192, f32):
+tile=64 keeps the ~3 live [tile, N] temporaries (d2, masked copy,
+column iota) within the 16 MB VMEM limit at N=8192.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30  # plain float: pallas kernels must not capture traced constants
+
+
+def _kernel(num_sectors, k, f0_ref, f1_ref, f1sq_ref, secmask_ref,
+            idx_ref, ok_ref):
+    """One query tile: d2 in VMEM -> K x k masked argmin extractions."""
+    f0 = f0_ref[:]                      # [T, D]
+    f1 = f1_ref[:]                      # [N, D]
+    n = f1.shape[0]
+    t = f0.shape[0]
+
+    f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)        # [T, 1]
+    d2 = f0sq + f1sq_ref[0, :].reshape(1, n) - 2.0 * jnp.dot(
+        f0, f1.T, preferred_element_type=jnp.float32
+    )                                                      # [T, N]
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+
+    for s in range(num_sectors):
+        mask = secmask_ref[s, :].reshape(1, n)             # [1, N] f32
+        ds = jnp.where(mask > 0.5, d2, _BIG)
+        for j in range(k):
+            vals = jnp.min(ds, axis=1)                     # [T]
+            idx = jnp.argmin(ds, axis=1).astype(jnp.int32)
+            idx_ref[:, s, j] = idx
+            ok_ref[:, s, j] = (vals < _BIG / 2).astype(jnp.int32)
+            ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
+
+
+@partial(jax.jit, static_argnames=("num_sectors", "k", "tile",
+                                   "interpret"))
+def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
+                      v1=None, tile: int = 64, interpret: bool = False):
+    """Per-sector top-k neighbors. Returns (idx [N0, S, k], ok [N0, S, k]).
+
+    Drop-in replacement for the XLA path of ``find_kcorr_per_sector``.
+    """
+    n0, d = F0.shape
+    n1 = F1.shape[0]
+    pad0 = (-n0) % tile
+    f0 = jnp.pad(F0.astype(jnp.float32), ((0, pad0), (0, 0)))
+    f1 = F1.astype(jnp.float32)
+    f1sq = jnp.sum(f1 * f1, axis=1)[None, :]  # 2-D: 1-D operands break
+    # pallas vmap batching (batch dim becomes an illegal block dim)
+    secmask = (
+        sector1[None, :] == jnp.arange(num_sectors)[:, None]
+    )
+    if v1 is not None:
+        secmask = secmask & v1[None, :]
+    secmask = secmask.astype(jnp.float32)
+
+    n_tiles = (n0 + pad0) // tile
+    idx, ok = pl.pallas_call(
+        partial(_kernel, num_sectors, k),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_sectors, n1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, num_sectors, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, num_sectors, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n0 + pad0, num_sectors, k), jnp.int32),
+            jax.ShapeDtypeStruct((n0 + pad0, num_sectors, k), jnp.int32),
+        ),
+        interpret=interpret,
+    )(f0, f1, f1sq, secmask)
+    return idx[:n0], ok[:n0].astype(bool)

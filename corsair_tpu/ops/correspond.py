@@ -40,9 +40,36 @@ def find_kcorr(F0, F1, k: int, v0=None, v1=None, chunk: int = 1024):
     return idx0, idx1.reshape(-1), jnp.repeat(valid, k)
 
 
-@partial(jax.jit, static_argnames=("num_sectors", "k", "chunk"))
+def _use_pallas_sector_knn(n1: int) -> bool:
+    """Pallas fast path: TPU backend and a distance tile that fits VMEM."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend != "cpu" and n1 <= 16384
+
+
 def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
-                          v1=None, chunk: int = 1024):
+                          v1=None, chunk: int = 1024,
+                          use_pallas=None):
+    """Dispatcher: Pallas fused kernel on TPU, chunked XLA elsewhere."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_sector_knn(F1.shape[0])
+    if use_pallas:
+        from corsair_tpu.core.kernels.sector_knn import sector_knn_pallas
+
+        tile = 64 if F1.shape[0] <= 8192 else 32
+        return sector_knn_pallas(
+            F0, F1, sector1, num_sectors, k, v1=v1, tile=tile
+        )
+    return _find_kcorr_per_sector_xla(
+        F0, F1, sector1, num_sectors, k, v1=v1, chunk=chunk
+    )
+
+
+@partial(jax.jit, static_argnames=("num_sectors", "k", "chunk"))
+def _find_kcorr_per_sector_xla(F0, F1, sector1, num_sectors: int, k: int,
+                               v1=None, chunk: int = 1024):
     """For each source row, the top-k F1 neighbors *within every target
     sector*: ``idx [N0, S, k]``, ``ok [N0, S, k]`` (False when the sector has
     fewer than needed valid points).
