@@ -53,6 +53,54 @@ def _kernel(num_sectors, k, f0_ref, f1_ref, f1sq_ref, secmask_ref,
             ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
 
 
+def _min_kernel(x0_ref, x1_ref, x1sq_ref, v1_ref, out_ref):
+    """Min squared distance per query row, distance tile in VMEM."""
+    x0 = x0_ref[:]
+    x1 = x1_ref[:]
+    n = x1.shape[0]
+    x0sq = jnp.sum(x0 * x0, axis=1, keepdims=True)
+    d2 = x0sq + x1sq_ref[0, :].reshape(1, n) - 2.0 * jnp.dot(
+        x0, x1.T, preferred_element_type=jnp.float32
+    )
+    d2 = jnp.where(v1_ref[0, :].reshape(1, n) > 0.5, d2, _BIG)
+    out_ref[:, 0] = jnp.min(d2, axis=1)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def min_dist_pallas(X0, X1, v1=None, tile: int = 256,
+                    interpret: bool = False):
+    """Per-row nearest-neighbor distance (not index): the Chamfer inner
+    loop, fused so the distance tile never leaves VMEM. Returns [N0]."""
+    n0, d = X0.shape
+    n1 = X1.shape[0]
+    pad0 = (-n0) % tile
+    x0 = jnp.pad(X0.astype(jnp.float32), ((0, pad0), (0, 0)))
+    x1 = X1.astype(jnp.float32)
+    x1sq = jnp.sum(x1 * x1, axis=1)[None, :]
+    v1f = (jnp.ones((1, n1), jnp.float32) if v1 is None
+           else v1[None, :].astype(jnp.float32))
+    n_tiles = (n0 + pad0) // tile
+    out = pl.pallas_call(
+        _min_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n0 + pad0, 1), jnp.float32),
+        interpret=interpret,
+    )(x0, x1, x1sq, v1f)
+    return jnp.sqrt(jnp.maximum(out[:n0, 0], 0.0))
+
+
 @partial(jax.jit, static_argnames=("num_sectors", "k", "tile",
                                    "interpret"))
 def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,

@@ -20,9 +20,25 @@ from corsair_tpu.ops.knn import pairwise_sqdist
 _BIG = jnp.float32(1e30)
 
 
+def _use_pallas(n1: int) -> bool:
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend != "cpu" and n1 <= 16384
+
+
 def _min_nn_dists(pc0, pc1, v0, v1, chunk):
     """Per-point nearest-neighbor distance from pc0 into pc1. ``[N]``"""
     n = pc0.shape[0]
+    if _use_pallas(pc1.shape[0]):
+        from corsair_tpu.core.kernels.sector_knn import min_dist_pallas
+
+        d = min_dist_pallas(pc0, pc1, v1=v1)
+        if v0 is not None:
+            d = jnp.where(v0, d, 0.0)
+        return d
+
     pad = (-n) % chunk
     q = jnp.pad(pc0, ((0, pad), (0, 0)))
 

@@ -17,13 +17,29 @@ from corsair_tpu.ops.knn import pairwise_sqdist, small_topk_min
 _BIG = jnp.float32(1e30)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
 def find_kcorr(F0, F1, k: int, v0=None, v1=None, chunk: int = 1024):
     """Top-k matches of each F0 row in F1.
 
     Returns (idx0 [N0*k], idx1 [N0*k], valid [N0*k]) with idx0 repeated k
-    times per source row (``utils/eval_pose.py:74-79``).
+    times per source row (``utils/eval_pose.py:74-79``). On TPU this is
+    the fused Pallas kernel with a single all-targets sector.
     """
+    n0 = F0.shape[0]
+    if _use_pallas_sector_knn(F1.shape[0]):
+        from corsair_tpu.core.kernels.sector_knn import sector_knn_pallas
+
+        sector1 = jnp.zeros((F1.shape[0],), jnp.int32)
+        idx, _ = sector_knn_pallas(F0, F1, sector1, 1, k, v1=v1)
+        idx1 = idx[:, 0, :]                              # [N0, k]
+    else:
+        idx1 = _find_kcorr_xla(F0, F1, k, v1, chunk)
+    idx0 = jnp.repeat(jnp.arange(n0, dtype=jnp.int32), k)
+    valid = jnp.ones((n0,), bool) if v0 is None else v0
+    return idx0, idx1.reshape(-1), jnp.repeat(valid, k)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _find_kcorr_xla(F0, F1, k: int, v1=None, chunk: int = 1024):
     n0 = F0.shape[0]
     pad = (-n0) % chunk
     q = jnp.pad(F0, ((0, pad), (0, 0)))
@@ -34,10 +50,7 @@ def find_kcorr(F0, F1, k: int, v0=None, v1=None, chunk: int = 1024):
         return idx
 
     idx1 = jax.lax.map(body, q.reshape(-1, chunk, F0.shape[1]))
-    idx1 = idx1.reshape(-1, k)[:n0]                      # [N0, k]
-    idx0 = jnp.repeat(jnp.arange(n0, dtype=jnp.int32), k)
-    valid = jnp.ones((n0,), bool) if v0 is None else v0
-    return idx0, idx1.reshape(-1), jnp.repeat(valid, k)
+    return idx1.reshape(-1, k)[:n0]                      # [N0, k]
 
 
 def _use_pallas_sector_knn(n1: int) -> bool:

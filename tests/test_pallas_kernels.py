@@ -52,3 +52,20 @@ class TestSectorKnnKernel:
         ok_p = np.asarray(ok_p)
         assert ok_p[:, 0, :].all()
         assert not ok_p[:, 1:, :].any()
+
+
+class TestMinDistKernel:
+    def test_matches_reference(self, rng):
+        from corsair_tpu.core.kernels.sector_knn import min_dist_pallas
+        from scipy.spatial import KDTree
+
+        p0 = rng.randn(300, 3).astype(np.float32)
+        p1 = rng.randn(512, 3).astype(np.float32)
+        v1 = np.ones(512, bool)
+        v1[480:] = False
+        d = np.asarray(min_dist_pallas(
+            jnp.asarray(p0), jnp.asarray(p1), v1=jnp.asarray(v1),
+            tile=128, interpret=True,
+        ))
+        ref, _ = KDTree(p1[:480]).query(p0, k=1)
+        np.testing.assert_allclose(d, ref, rtol=1e-2, atol=1e-3)
