@@ -1,0 +1,89 @@
+"""Pallas TPU kernel: fused RANSAC hypothesis scoring.
+
+For a tile of hypotheses, applies each rigid transform to the
+correspondence sources, computes residuals to the targets, and reduces to
+(inlier count, inlier SSE) — entirely in VMEM. The XLA path materializes
+[H, M, 3] moved-point and [H, M] distance temporaries in HBM.
+
+Layout note: the transform enters as a [H, 12] row-major (R | t) matrix
+so blocks stay 2-D and vmap-friendly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(max_d2, rt_ref, src_ref, dst_ref, valid_ref, count_ref,
+            sse_ref):
+    rt = rt_ref[:]                       # [T, 12]
+    src = src_ref[:]                     # [M, 3]
+    dst = dst_ref[:]                     # [M, 3]
+    valid = valid_ref[0, :]              # [M]
+
+    # moved[h, m, c] = sum_j R[h, c, j] * src[m, j] + t[h, c].
+    # rt columns are addressed directly: Mosaic cannot reshape
+    # [T, 9] -> [T, 3, 3] in-kernel.
+    sx, sy, sz = src[:, 0], src[:, 1], src[:, 2]
+    dx, dy, dz = dst[:, 0], dst[:, 1], dst[:, 2]
+
+    # residual per axis: [T, M]
+    resx = (rt[:, 0:1] * sx[None, :] + rt[:, 1:2] * sy[None, :]
+            + rt[:, 2:3] * sz[None, :] + rt[:, 9:10]) - dx[None, :]
+    resy = (rt[:, 3:4] * sx[None, :] + rt[:, 4:5] * sy[None, :]
+            + rt[:, 5:6] * sz[None, :] + rt[:, 10:11]) - dy[None, :]
+    resz = (rt[:, 6:7] * sx[None, :] + rt[:, 7:8] * sy[None, :]
+            + rt[:, 8:9] * sz[None, :] + rt[:, 11:12]) - dz[None, :]
+    d2 = resx * resx + resy * resy + resz * resz
+    inl = (d2 <= max_d2) & (valid[None, :] > 0.5)
+    count_ref[:, 0] = jnp.sum(inl.astype(jnp.float32), axis=1)
+    sse_ref[:, 0] = jnp.sum(jnp.where(inl, d2, 0.0), axis=1)
+
+
+@partial(jax.jit, static_argnames=("max_corr_dist", "tile", "interpret"))
+def ransac_score_pallas(Ts, src, dst, valid, max_corr_dist,
+                        tile: int = 64, interpret: bool = False):
+    """(counts [H], sse [H]) for hypotheses ``Ts`` [H, 4, 4] over
+    correspondences src/dst [M, 3] with ``valid`` [M]."""
+    h = Ts.shape[0]
+    m = src.shape[0]
+    rt = jnp.concatenate(
+        [Ts[:, :3, :3].reshape(h, 9), Ts[:, :3, 3]], axis=1
+    ).astype(jnp.float32)                # [H, 12]
+    pad = (-h) % tile
+    rt = jnp.pad(rt, ((0, pad), (0, 0)))
+    vf = valid[None, :].astype(jnp.float32)
+    max_d2 = float(max_corr_dist) ** 2
+
+    n_tiles = (h + pad) // tile
+    counts, sse = pl.pallas_call(
+        partial(_kernel, max_d2),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 12), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h + pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((h + pad, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(rt, src.astype(jnp.float32), dst.astype(jnp.float32), vf)
+    return counts[:h, 0], sse[:h, 0]

@@ -68,9 +68,33 @@ def _register_resnets():
         )
 
 
+def _register_heads():
+    """The reference's add_models(fc) registers the NetVLAD heads too
+    (class names containing "Net", ``model/__init__.py:23-31``)."""
+    from corsair_tpu.nn import heads as _heads
+
+    MODELS["NetVLAD"] = ModelDef(
+        name="NetVLAD",
+        make_config=lambda **kw: kw,
+        init=lambda key, cfg: _heads.netvlad_init(key, **cfg),
+        forward=lambda params, feats, batch, valid, nb:
+            _heads.netvlad_apply(params, feats, batch, valid, nb),
+        family="head",
+    )
+    MODELS["NetVLADLoupe"] = ModelDef(
+        name="NetVLADLoupe",
+        make_config=lambda **kw: kw,
+        init=lambda key, cfg: _heads.netvlad_loupe_init(key, **cfg),
+        forward=lambda params, feats, batch, valid, nb:
+            _heads.netvlad_loupe_apply(params, feats, batch, valid, nb),
+        family="head",
+    )
+
+
 _register_resunets()
 _register_simpleunets()
 _register_resnets()
+_register_heads()
 
 
 def load_model(name: str) -> ModelDef:

@@ -92,13 +92,28 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
 
     n_final = min(config.finalists_per_chunk, chunk)
 
+    try:
+        use_pallas = jax.default_backend() != "cpu"
+    except RuntimeError:
+        use_pallas = False
+
     def chunk_step(samp_chunk):
         src_h = src[samp_chunk]                      # [chunk, s, 3]
         dst_h = dst[samp_chunk]
         Ts = jax.vmap(lambda a, b: kabsch_quaternion(a, b))(src_h, dst_h)
-        counts, sses = jax.vmap(
-            lambda T: _score_all(T, src_sub, dst_sub, valid_sub, max_d2)
-        )(Ts)
+        if use_pallas:
+            from corsair_tpu.core.kernels.ransac_score import (
+                ransac_score_pallas,
+            )
+
+            counts, sses = ransac_score_pallas(
+                Ts, src_sub, dst_sub, valid_sub, config.max_corr_dist
+            )
+        else:
+            counts, sses = jax.vmap(
+                lambda T: _score_all(T, src_sub, dst_sub, valid_sub,
+                                     max_d2)
+            )(Ts)
         score = _pack_score(counts, sses)
         # top finalists of this chunk
         idx, vals = small_topk_min(-score[None, :], n_final)

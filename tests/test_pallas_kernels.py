@@ -69,3 +69,36 @@ class TestMinDistKernel:
         ))
         ref, _ = KDTree(p1[:480]).query(p0, k=1)
         np.testing.assert_allclose(d, ref, rtol=1e-2, atol=1e-3)
+
+
+class TestRansacScoreKernel:
+    def test_matches_reference(self, rng):
+        from corsair_tpu.core.kernels.ransac_score import ransac_score_pallas
+        from corsair_tpu.ops.transforms import random_rotation
+
+        m, h = 500, 96
+        src = rng.randn(m, 3).astype(np.float32)
+        valid = np.ones(m, bool)
+        valid[450:] = False
+        Ts = []
+        for _ in range(h):
+            _, T = random_rotation(np.zeros((1, 3)), rng)
+            Ts.append(T)
+        Ts = np.stack(Ts).astype(np.float32)
+        dst = (src @ Ts[0][:3, :3].T + Ts[0][:3, 3]).astype(np.float32)
+        dst += rng.randn(m, 3).astype(np.float32) * 0.05
+
+        counts, sse = ransac_score_pallas(
+            jnp.asarray(Ts), jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(valid), 0.2, tile=32, interpret=True,
+        )
+        counts, sse = np.asarray(counts), np.asarray(sse)
+        # reference computation
+        for i in (0, 1, h - 1):
+            moved = src @ Ts[i][:3, :3].T + Ts[i][:3, 3]
+            d2 = ((moved - dst) ** 2).sum(1)
+            inl = (d2 <= 0.04) & valid
+            assert counts[i] == inl.sum()
+            np.testing.assert_allclose(sse[i], d2[inl].sum(), rtol=1e-4)
+        # hypothesis 0 is the true pose: must dominate
+        assert counts[0] == 450
