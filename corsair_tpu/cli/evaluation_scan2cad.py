@@ -9,7 +9,6 @@ between each query's GT CAD and the retrieved RaDe-GS reconstruction.
 
 from __future__ import annotations
 
-import argparse
 import dataclasses
 import os
 from typing import Optional

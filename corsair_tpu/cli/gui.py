@@ -16,8 +16,6 @@ this module provides:
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from corsair_tpu.ops.transforms import apply_transform

@@ -16,7 +16,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from corsair_tpu.core.sparse import SENTINEL
 from corsair_tpu.core.voxelize import sparse_collate_np, voxelize_host
 from corsair_tpu.data.readers import load_norm_pc, load_raw_pc, path_dict
 from corsair_tpu.ops.transforms import apply_transform

@@ -9,7 +9,7 @@ batches the base plus the flattened multi-positive/negative lists.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ instantiated ``fc.conv1_max_embedding(1024, 512, 256)``,
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax

@@ -9,13 +9,11 @@ update) end to end.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from corsair_tpu.core.sparse import SENTINEL, SparseGrid
 from corsair_tpu.nn import heads, resunet

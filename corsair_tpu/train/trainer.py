@@ -11,14 +11,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from corsair_tpu.core.coordmap import CoordinateManager
 from corsair_tpu.core.sparse import SparseGrid
 from corsair_tpu.nn import heads, resunet
 from corsair_tpu.nn.layers import l2_normalize

@@ -9,7 +9,7 @@ environments); layout mirrors the reference keys: ``state_dict`` (model),
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -81,7 +81,17 @@ def build_tree(root, n_cads=6, n_scans=4, n_points=400, seed=0):
                    "scale": [1, 1, 1]}
         fname = f"{scene}.0.{CATID}.{mid}.npy"
         scan_files.append(fname)
-        scan_pc = base + rng.randn(*base.shape) * 0.01
+        # store the scan so that inv(T_pos) @ T_base aligns it onto the
+        # CAD (the eval protocol's assumption, datasets/ScannetDataset
+        # :231): scan = inv(T_base) @ T_pos @ (cad + noise)
+        from corsair_tpu.ops.transforms import apply_transform, to_T
+
+        T_base = to_T(t_scan, [1, 0, 0, 0], [1, 1, 1])
+        T_pos = to_T(t_cad, [1, 0, 0, 0], [1, 1, 1])
+        noisy = base + rng.randn(*base.shape) * 0.01
+        scan_pc = apply_transform(
+            noisy, np.linalg.inv(T_base) @ T_pos
+        )
         np.save(os.path.join(scans, fname), scan_pc)
         annotations.append({
             "id_scan": scene,
@@ -102,10 +112,26 @@ def build_tree(root, n_cads=6, n_scans=4, n_points=400, seed=0):
     with open(os.path.join(configs, "scannet_omit.txt"), "w") as f:
         f.write("")
 
-    # CD table with diag 200 (configs convention)
-    table = rng.rand(n_cads, n_cads) * 0.3
-    table = (table + table.T) / 2
-    table[np.arange(n_cads), np.arange(n_cads)] = 200.0
+    # CD table with diag 200 (configs convention): true bidirectional
+    # Chamfer between the normalized models, so positive/negative sampling
+    # behaves like the real pipeline
+    from scipy.spatial import cKDTree
+
+    def norm(pc):
+        pc = pc - pc.mean(0)
+        return pc / np.linalg.norm(pc, axis=1).max()
+
+    npc = {m: norm(cad_pcs[m]) for m in model_ids}
+    table = np.zeros((n_cads, n_cads))
+    for i, mi in enumerate(model_ids):
+        for j, mj in enumerate(model_ids):
+            if i == j:
+                table[i, j] = 200.0
+                continue
+            a, b = npc[mi], npc[mj]
+            da, _ = cKDTree(b).query(a, k=1)
+            db, _ = cKDTree(a).query(b, k=1)
+            table[i, j] = da.mean() + db.mean()
     np.save(os.path.join(configs, f"{CATID}_scan2cad.npy"), table)
 
     # sym labels
