@@ -63,12 +63,13 @@ def conv1_max_embedding_init(key, conv_channels=1024, linear1_dim=512,
 
 
 def conv1_max_embedding_apply(params, feats, batch, valid, num_batches: int,
-                              training: bool = False):
+                              training: bool = False, stats_out=None):
     """bottleneck [N4, 256] -> descriptors [B, 256]."""
     x = sparse_conv1x1(params["final"], feats)           # [N4, 1024]
     pooled = segment_max_pool(x, batch, valid, num_batches)  # [B, 1024]
     h = linear(params["fc1"], pooled)
-    h = dense_batch_norm(params["bn1"], h, training=False)
+    h = dense_batch_norm(params["bn1"], h, training=training,
+                         stats_out=stats_out, stats_key="bn1")
     h = relu(h)
     return linear(params["fc2"], h)
 

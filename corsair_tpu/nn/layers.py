@@ -49,26 +49,33 @@ def sparse_conv1x1(params, feats):
     return out
 
 
-def batch_norm(params, feats, valid, training: bool = False):
+def masked_batch_stats(feats, valid):
+    """Masked per-channel (mean, var) over valid rows only."""
+    w = valid.astype(feats.dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(feats * w, axis=0) / cnt
+    var = jnp.sum(((feats - mean) ** 2) * w, axis=0) / cnt
+    return mean, var
+
+
+def batch_norm(params, feats, valid, training: bool = False,
+               stats_out=None, stats_key=None):
     """BatchNorm over all valid voxels in the batch (ME MinkowskiBatchNorm /
     torch BatchNorm1d semantics, ``model/common.py:20-26``).
 
-    Eval mode uses running stats; training mode computes masked batch stats.
-    Returns feats (and, when training, the batch stats for the caller to
-    fold into running-stat updates).
+    Eval mode uses running stats; training mode normalizes with masked
+    batch stats (padding rows excluded). When ``stats_out`` (a dict) is
+    provided in training mode, the batch stats are recorded under
+    ``stats_key`` so the trainer can EMA-update the running stats.
     """
     if training:
-        w = valid.astype(feats.dtype)[:, None]
-        cnt = jnp.maximum(jnp.sum(w), 1.0)
-        mean = jnp.sum(feats * w, axis=0) / cnt
-        var = jnp.sum(((feats - mean) ** 2) * w, axis=0) / cnt
+        mean, var = masked_batch_stats(feats, valid)
+        if stats_out is not None:
+            stats_out[stats_key] = (mean, var)
     else:
         mean, var = params["mean"], params["var"]
     inv = jax.lax.rsqrt(var + EPS_BN)
-    out = (feats - mean) * inv * params["scale"] + params["bias"]
-    if training:
-        return out, (mean, var)
-    return out
+    return (feats - mean) * inv * params["scale"] + params["bias"]
 
 
 def instance_norm(params, feats, batch, valid, num_batches: int):
@@ -95,9 +102,11 @@ def instance_norm(params, feats, batch, valid, num_batches: int):
 
 
 def apply_norm(norm_type: str, params, feats, batch, valid,
-               num_batches: int, training: bool = False):
+               num_batches: int, training: bool = False,
+               stats_out=None, stats_key=None):
     if norm_type == "BN":
-        return batch_norm(params, feats, valid, training=training)
+        return batch_norm(params, feats, valid, training=training,
+                          stats_out=stats_out, stats_key=stats_key)
     elif norm_type == "IN":
         return instance_norm(params, feats, batch, valid, num_batches)
     raise ValueError(f"norm type {norm_type} not defined")
@@ -131,15 +140,15 @@ def linear(params, x):
         + params["bias"]
 
 
-def dense_batch_norm(params, x, training: bool = False):
+def dense_batch_norm(params, x, training: bool = False,
+                     stats_out=None, stats_key=None):
     """torch nn.BatchNorm1d on dense [B, C] activations (embedding head)."""
     if training:
         mean = jnp.mean(x, axis=0)
         var = jnp.var(x, axis=0)
+        if stats_out is not None:
+            stats_out[stats_key] = (mean, var)
     else:
         mean, var = params["mean"], params["var"]
     inv = jax.lax.rsqrt(var + EPS_BN)
-    out = (x - mean) * inv * params["scale"] + params["bias"]
-    if training:
-        return out, (mean, var)
-    return out
+    return (x - mean) * inv * params["scale"] + params["bias"]

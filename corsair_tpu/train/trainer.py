@@ -36,6 +36,8 @@ class TrainConfig:
     triplet_margin: float = 0.3
     triplet_weight: float = 1.0
     grad_clip: float = 10.0
+    bn_momentum: float = 0.05   # deployed config, evaluation.py:185
+    train_bn: bool = True       # batch stats + running-stat EMA
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -50,16 +52,62 @@ def make_optimizer(cfg: TrainConfig):
     )
 
 
-def _forward_role(params, model_cfg, manager, grid: SparseGrid):
+def _forward_role(params, model_cfg, manager, grid: SparseGrid,
+                  training: bool = False, stats_out=None):
     maps = manager.build(grid)
     feats, bottleneck = resunet.forward(params["model"], grid, maps,
-                                        model_cfg)
+                                        model_cfg, training=training,
+                                        stats_out=stats_out)
     l4 = maps.levels[3]
+    emb_stats = {} if stats_out is not None else None
     desc = heads.conv1_max_embedding_apply(
         params["embedding"], bottleneck, l4.batch, l4.valid,
-        grid.num_batches,
+        grid.num_batches, training=training, stats_out=emb_stats,
     )
+    if stats_out is not None:
+        for k, v in emb_stats.items():
+            stats_out["embedding." + k] = v
     return feats, l2_normalize(desc, axis=1)
+
+
+def _stats_param(params, key):
+    """Resolve a collected-stats key to its norm-param dict."""
+    node = params["embedding"] if key.startswith("embedding.") else \
+        params["model"]
+    for part in key.split(".")[1:] if key.startswith("embedding.") else \
+            key.split("."):
+        node = node[part]
+    return node
+
+
+def ema_update_bn(params, stats, momentum: float):
+    """torch-style running-stat update: r = (1-m)*r + m*batch."""
+    import copy
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+
+    def updated(norm_p, mean, var):
+        new = dict(norm_p)
+        new["mean"] = (1 - momentum) * norm_p["mean"] + momentum * mean
+        new["var"] = (1 - momentum) * norm_p["var"] + momentum * var
+        return new
+
+    def set_path(root, key, value):
+        parts = (["embedding"] + key.split(".")[1:]
+                 if key.startswith("embedding.")
+                 else ["model"] + key.split("."))
+        node = root
+        for part in parts[:-1]:
+            node[part] = dict(node[part])
+            node = node[part]
+        node[parts[-1]] = value
+
+    root = {"model": dict(params["model"]),
+            "embedding": dict(params["embedding"])}
+    for key, (mean, var) in stats.items():
+        norm_p = _stats_param(root, key)
+        set_path(root, key, updated(norm_p, mean, var))
+    return root
 
 
 @functools.partial(
@@ -76,10 +124,14 @@ def train_step(params, opt_state, base: SparseGrid, pos: SparseGrid,
     offset-collate convention of ``datasets/ChairDataset.py:164-183``.
     """
 
+    training = train_cfg.train_bn
+
     def loss_fn(p):
-        base_f, base_d = _forward_role(p, model_cfg, manager, base)
-        pos_f, pos_d = _forward_role(p, model_cfg, manager, pos)
-        neg_f, neg_d = _forward_role(p, model_cfg, manager, neg)
+        stats = {} if training else None
+        base_f, base_d = _forward_role(p, model_cfg, manager, base,
+                                       training, stats)
+        pos_f, pos_d = _forward_role(p, model_cfg, manager, pos, training)
+        neg_f, neg_d = _forward_role(p, model_cfg, manager, neg, training)
         l_pp = point_contrastive_loss(
             base_f, pos_f, pip, pip_valid, pin, pin_valid,
             train_cfg.pos_margin, train_cfg.neg_margin,
@@ -94,11 +146,17 @@ def train_step(params, opt_state, base: SparseGrid, pos: SparseGrid,
             base_d, pos_d, neg_d, train_cfg.triplet_margin
         )
         total = l_pp + l_nn + train_cfg.triplet_weight * l_trip
-        return total, {"pair": l_pp, "nin": l_nn, "triplet": l_trip}
+        aux = {"pair": l_pp, "nin": l_nn, "triplet": l_trip}
+        return total, (aux, stats)
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, (aux, stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
+    if training and stats:
+        stats = jax.tree_util.tree_map(jax.lax.stop_gradient, stats)
+        params = ema_update_bn(params, stats, train_cfg.bn_momentum)
     return params, opt_state, loss, aux
 
 
