@@ -53,6 +53,26 @@ def _find_kcorr_xla(F0, F1, k: int, v1=None, chunk: int = 1024):
     return idx1.reshape(-1, k)[:n0]                      # [N0, k]
 
 
+def find_corr(key, xyz0, xyz1, F0, F1, subsample_size: int = -1,
+              v0=None, v1=None, chunk: int = 1024):
+    """Top-1 matching point pairs (``find_corr``,
+    ``utils/eval_pose.py:28-45``): returns (xyz0_sel, xyz1_matched).
+
+    With ``subsample_size > 0`` both sides are randomly subsampled first
+    (keyed, static shapes: a keyed permutation prefix).
+    """
+    if subsample_size > 0 and F0.shape[0] > subsample_size:
+        k0, k1 = jax.random.split(key)
+        inds0 = jax.random.permutation(k0, F0.shape[0])[:subsample_size]
+        inds1 = jax.random.permutation(k1, F1.shape[0])[:subsample_size]
+        xyz0, F0 = xyz0[inds0], F0[inds0]
+        xyz1, F1 = xyz1[inds1], F1[inds1]
+        v0 = None if v0 is None else v0[inds0]
+        v1 = None if v1 is None else v1[inds1]
+    idx0, idx1, _ = find_kcorr(F0, F1, 1, v0, v1, chunk=chunk)
+    return xyz0[idx0], xyz1[idx1]
+
+
 def _use_pallas_sector_knn(n1: int) -> bool:
     """Pallas fast path: TPU backend and a distance tile that fits VMEM."""
     try:
