@@ -19,6 +19,20 @@ import jax.numpy as jnp
 _BIG = jnp.float32(1e30)
 
 
+def valid_first_order(valid):
+    """Stable partition indices: valid rows first (O(n) cumsum scatter).
+
+    NOTE: measured SLOWER than ``argsort(~valid)`` on TPU — random-access
+    scatter beats nothing there. Kept for CPU-side uses."""
+    n = valid.shape[0]
+    c_valid = jnp.cumsum(valid) - 1
+    c_invalid = jnp.cumsum(~valid) - 1
+    pos = jnp.where(valid, c_valid, jnp.sum(valid) + c_invalid)
+    return jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+
 def small_topk_min(d2, k: int):
     """Smallest-k via k iterative argmin extractions.
 

@@ -77,6 +77,8 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
 
     # Sample only among valid correspondences: draw from [0, n_valid) in a
     # compacted index space.
+    # argsort beats an O(n) cumsum+scatter partition here: TPU
+    # random-access scatters cost more than the bitonic sort (measured).
     order = jnp.argsort(~valid)  # valid rows first
     n_valid = jnp.maximum(jnp.sum(valid), 1)
     raw = jax.random.randint(key, (h_padded, s), 0, 2**31 - 1)
