@@ -46,6 +46,12 @@ class SymPoseConfig:
     kmeans_iters: int = 25
     kmeans_restarts: int = 10
     ransac: RansacConfig = RansacConfig(num_hypotheses=4096, sample_size=10)
+    # Run the S+1 candidate RANSACs concurrently (vmap) instead of
+    # sequentially. Measured slower at batch 8 on one chip (the query
+    # batch already saturates the chip; vmapping candidates just shrinks
+    # the score chunks) — useful only for tiny query batches.
+    parallel_candidates: bool = False
+    parallel_score_chunk: int = 256
 
     @property
     def num_shifts(self) -> int:
@@ -208,14 +214,21 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
     dsts = jnp.concatenate([dst_all[None], dsts_s], axis=0)
     vs = jnp.concatenate([cvalid[None], vs_s], axis=0)
 
-    # Sequential over the S+1 candidate correspondence sets (bounds peak
-    # memory; each RANSAC is itself hypothesis-parallel)...
-    def one_candidate(args):
-        kk, s, d, v = args
-        T, cnt, rmse = ransac_correspondences(kk, s, d, v, rcfg)
-        return T
+    if config.parallel_candidates:
+        rcfg_p = dataclasses.replace(
+            rcfg, score_chunk=config.parallel_score_chunk
+        )
+        Ts, _, _ = jax.vmap(
+            lambda kk, s, d, v: ransac_correspondences(kk, s, d, v,
+                                                       rcfg_p)
+        )(r_keys, srcs, dsts, vs)
+    else:
+        def one_candidate(args):
+            kk, s, d, v = args
+            T, cnt, rmse = ransac_correspondences(kk, s, d, v, rcfg)
+            return T
 
-    Ts = jax.lax.map(one_candidate, (r_keys, srcs, dsts, vs))
+        Ts = jax.lax.map(one_candidate, (r_keys, srcs, dsts, vs))
 
     # ...then all candidates' Chamfer scores in one batched chunked pass
     # (1-direction, utils/preprocess.py:67-70).
