@@ -17,15 +17,18 @@ EPS_BN = 1e-5  # torch BatchNorm default
 EPS_IN = 1e-5
 
 
-def sparse_conv(params, feats, table):
+def sparse_conv(params, feats, table, compute_dtype=None):
     """Table-based sparse conv: ``out[i] = sum_k W[k] @ x[table[k, i]]``.
 
     ``params['kernel']``: [K, Cin, Cout]; ``feats``: [N_in, Cin];
     ``table``: [K, N_out] with miss value == N_in (gathers the zero row).
-    Optional ``params['bias']``: [Cout].
+    Optional ``params['bias']``: [Cout]. ``compute_dtype=jnp.bfloat16``
+    halves gather/matmul bandwidth on the MXU; accumulation stays f32.
     """
     kernel = params["kernel"]
-    n_in = feats.shape[0]
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
     x_pad = jnp.concatenate(
         [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0
     )

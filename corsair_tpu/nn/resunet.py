@@ -52,6 +52,9 @@ class ResUNetConfig:
     bn_momentum: float = 0.05
     normalize_feature: bool = True
     dtype: jnp.dtype = jnp.float32
+    # bf16 conv compute (f32 accumulation + f32 norms/outputs): halves
+    # conv gather/matmul bandwidth for production inference. None = f32.
+    compute_dtype: object = None
 
 
 # CHANNELS / TR_CHANNELS per variant (model/resunet.py:283-333).
@@ -146,16 +149,17 @@ def init_params(key, cfg: ResUNetConfig):
 
 
 def _residual_block(params, feats, table, batch, valid, nb, norm_type,
-                    training, stats_out=None, key_prefix=""):
+                    training, stats_out=None, key_prefix="",
+                    compute_dtype=None):
     """conv(k3)->norm->relu->conv(k3)->norm->(+residual)->relu
     (``model/residual_block.py:57-73``)."""
     residual = feats
-    out = sparse_conv(params["conv1"], feats, table)
+    out = sparse_conv(params["conv1"], feats, table, compute_dtype)
     out = apply_norm(norm_type, params["norm1"], out, batch, valid, nb,
                      training=training, stats_out=stats_out,
                      stats_key=key_prefix + ".norm1")
     out = relu(out)
-    out = sparse_conv(params["conv2"], out, table)
+    out = sparse_conv(params["conv2"], out, table, compute_dtype)
     out = apply_norm(norm_type, params["norm2"], out, batch, valid, nb,
                      training=training, stats_out=stats_out,
                      stats_key=key_prefix + ".norm2")
@@ -185,58 +189,58 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
                           stats_out=stats_out, stats_key=pname)
 
     # ---- encoder
-    out_s1 = sparse_conv(params["conv1"], grid.feats, L[0].self_table)
+    out_s1 = sparse_conv(params["conv1"], grid.feats, L[0].self_table, cfg.compute_dtype)
     out_s1 = norm("norm1", out_s1, 0)
     out_s1 = _residual_block(params["block1"], out_s1, L[0].self_table,
                              L[0].batch, L[0].valid, nb, bt, training,
-                             stats_out, "block1")
+                             stats_out, "block1", cfg.compute_dtype)
     out = relu(out_s1)
 
-    out_s2 = sparse_conv(params["conv2"], out, L[1].down_table)
+    out_s2 = sparse_conv(params["conv2"], out, L[1].down_table, cfg.compute_dtype)
     out_s2 = norm("norm2", out_s2, 1)
     out_s2 = _residual_block(params["block2"], out_s2, L[1].self_table,
                              L[1].batch, L[1].valid, nb, bt, training,
-                             stats_out, "block2")
+                             stats_out, "block2", cfg.compute_dtype)
     out = relu(out_s2)
 
-    out_s4 = sparse_conv(params["conv3"], out, L[2].down_table)
+    out_s4 = sparse_conv(params["conv3"], out, L[2].down_table, cfg.compute_dtype)
     out_s4 = norm("norm3", out_s4, 2)
     out_s4 = _residual_block(params["block3"], out_s4, L[2].self_table,
                              L[2].batch, L[2].valid, nb, bt, training,
-                             stats_out, "block3")
+                             stats_out, "block3", cfg.compute_dtype)
     out = relu(out_s4)
 
-    out_s8 = sparse_conv(params["conv4"], out, L[3].down_table)
+    out_s8 = sparse_conv(params["conv4"], out, L[3].down_table, cfg.compute_dtype)
     out_s8 = norm("norm4", out_s8, 3)
     out_s8 = _residual_block(params["block4"], out_s8, L[3].self_table,
                              L[3].batch, L[3].valid, nb, bt, training,
-                             stats_out, "block4")
+                             stats_out, "block4", cfg.compute_dtype)
     out = relu(out_s8)
 
     bottleneck = out_s8  # returned raw (model/resunet.py:230)
 
     # ---- decoder
-    out = sparse_conv(params["conv4_tr"], out, L[3].up_table)
+    out = sparse_conv(params["conv4_tr"], out, L[3].up_table, cfg.compute_dtype)
     out = norm("norm4_tr", out, 2)
     out = _residual_block(params["block4_tr"], out, L[2].self_table,
                           L[2].batch, L[2].valid, nb, bt, training,
-                          stats_out, "block4_tr")
+                          stats_out, "block4_tr", cfg.compute_dtype)
     out = relu(out)
     out = jnp.concatenate([out, out_s4], axis=1)  # ME.cat skip
 
-    out = sparse_conv(params["conv3_tr"], out, L[2].up_table)
+    out = sparse_conv(params["conv3_tr"], out, L[2].up_table, cfg.compute_dtype)
     out = norm("norm3_tr", out, 1)
     out = _residual_block(params["block3_tr"], out, L[1].self_table,
                           L[1].batch, L[1].valid, nb, bt, training,
-                          stats_out, "block3_tr")
+                          stats_out, "block3_tr", cfg.compute_dtype)
     out = relu(out)
     out = jnp.concatenate([out, out_s2], axis=1)
 
-    out = sparse_conv(params["conv2_tr"], out, L[1].up_table)
+    out = sparse_conv(params["conv2_tr"], out, L[1].up_table, cfg.compute_dtype)
     out = norm("norm2_tr", out, 0)
     out = _residual_block(params["block2_tr"], out, L[0].self_table,
                           L[0].batch, L[0].valid, nb, bt, training,
-                          stats_out, "block2_tr")
+                          stats_out, "block2_tr", cfg.compute_dtype)
     out = relu(out)
     out = jnp.concatenate([out, out_s1], axis=1)
 
