@@ -257,24 +257,23 @@ class CoordinateManager:
         num_levels: int = 4,
         kernel_size: int = 3,
         level_cap_ratios: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
-        compact_keys: bool = False,
+        compact_keys: bool = True,
     ):
         self.num_levels = num_levels
         self.kernel_size = kernel_size
         self.level_cap_ratios = tuple(level_cap_ratios)
         self.offsets = kernel_offsets(kernel_size)
-        # Compact path: one uint32 key per voxel -> each level's table is
-        # sorted once and all queries binary-search it. Measured SLOWER on
-        # TPU (searchsorted = sequential random-access gathers, which the
-        # bitonic sort-merge path avoids); kept for CPU/GPU backends.
-        # Requires num_batches <= 32 and coords within [-256, 255].
+        # Compact path: one packed uint32 key per voxel -> the sort-merge
+        # join sorts 2 operands instead of 3 (searchsorted was tried and
+        # is far slower on TPU — random-access binary search). Requires
+        # num_batches <= 32 and coords within [-256, 255]; larger batches
+        # fall back to the (hi, lo) path automatically.
         self.compact_keys = compact_keys
 
     def build(self, grid: SparseGrid) -> UNetMaps:
         from corsair_tpu.core.sparse import (
             COMPACT_MAX_BATCH,
-            lookup_compact,
-            sort_table_compact,
+            lookup_merge_compact,
         )
 
         cap0 = grid.capacity
@@ -297,21 +296,15 @@ class CoordinateManager:
             per_level.append((coords, batch, valid, stride))
 
         if use_compact:
-            sorted_tables = [
-                sort_table_compact(_keys(c, b, v))
-                for (c, b, v, _) in per_level
-            ]
-
             def nt(lvl_table, qc, qb, qv, offsets, dilation):
-                skeys, srows = sorted_tables[lvl_table]
+                tc, tb, tv, _ = per_level[lvl_table]
                 k = offsets.shape[0]
                 m = qc.shape[0]
                 qkeys = _offset_queries(
                     qc, qb, qv, jnp.asarray(offsets), dilation
                 )
-                idx = lookup_compact(
-                    skeys, srows, qkeys,
-                    per_level[lvl_table][0].shape[0],
+                idx = lookup_merge_compact(
+                    _keys(tc, tb, tv), qkeys, tc.shape[0]
                 )
                 return idx.reshape(k, m)
         else:

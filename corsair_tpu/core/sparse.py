@@ -149,6 +149,40 @@ def sort_table_compact(table_keys):
     return s_keys, s_rows
 
 
+def lookup_merge_compact(table_keys, query_keys, table_capacity: int):
+    """Sort-merge join on single packed uint32 keys.
+
+    Same cummax-merge as ``lookup_sorted`` but with one key word instead
+    of (hi, lo): fewer bitonic comparator passes. Valid only in the
+    compact-key regime (num_batches <= 32, coords in [-256, 255]).
+    """
+    n = table_keys[0].shape[0]
+    m = query_keys[0].shape[0]
+    tk = pack_key_compact(table_keys)
+    qk = pack_key_compact(query_keys)
+    keys = jnp.concatenate([tk, qk])
+    flag = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.ones((m,), jnp.int32)]
+    )
+    payload = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
+    )
+    s_k, s_flag, s_payload = jax.lax.sort(
+        (keys, flag, payload), num_keys=2, is_stable=True
+    )
+    pos = jnp.arange(n + m, dtype=jnp.int32)
+    table_pos = jnp.where(s_flag == 0, pos, -1)
+    latest = jax.lax.cummax(table_pos)
+    safe = jnp.maximum(latest, 0)
+    match = (latest >= 0) & (s_k[safe] == s_k) & (
+        s_k != _COMPACT_SENTINEL
+    )
+    result = jnp.where(match, s_payload[safe], jnp.int32(table_capacity))
+    out = jnp.full((m,), table_capacity, dtype=jnp.int32)
+    q_idx = jnp.where(s_flag == 1, s_payload, jnp.int32(m))
+    return out.at[q_idx].set(result, mode="drop")
+
+
 def lookup_compact(sorted_keys, sorted_rows, query_keys,
                    table_capacity: int):
     """Binary-search lookup against a pre-sorted packed-key table.
