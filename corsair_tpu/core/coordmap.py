@@ -120,7 +120,7 @@ def neighbor_table(
 
 
 def downsample_coords(coords, batch, valid, stride: int, out_capacity: int,
-                      factor: int = 2):
+                      factor: int = 2, compact: bool = False):
     """Coarsen a coordinate set by ``factor``:
     ``unique(floor(c / (factor*t)) * factor*t)``.
 
@@ -131,7 +131,7 @@ def downsample_coords(coords, batch, valid, stride: int, out_capacity: int,
         valid[:, None], (jnp.floor_divide(coords, t2)) * t2, SENTINEL
     )
     keys = _keys(coarse, batch, valid)
-    perm, kept = unique_compact(keys, coords.shape[0])
+    perm, kept = unique_compact(keys, coords.shape[0], compact=compact)
     out_coords = jnp.where(kept[:, None], coarse[perm], SENTINEL)[:out_capacity]
     out_batch = jnp.where(kept, batch[perm], SENTINEL)[:out_capacity]
     out_valid = kept[:out_capacity]
@@ -290,7 +290,8 @@ class CoordinateManager:
         per_level = [(coords, batch, valid, stride)]
         for lvl in range(1, self.num_levels):
             coords, batch, valid = downsample_coords(
-                coords, batch, valid, stride, caps[lvl]
+                coords, batch, valid, stride, caps[lvl],
+                compact=use_compact,
             )
             stride *= 2
             per_level.append((coords, batch, valid, stride))

@@ -252,7 +252,7 @@ def lookup_sorted(table_keys, query_keys, table_capacity: int):
     return out
 
 
-def unique_compact(keys, capacity: int):
+def unique_compact(keys, capacity: int, compact: bool = False):
     """Deduplicate rows by key, compacting unique rows to the front.
 
     Returns (perm, is_unique_front) where ``perm`` int32 ``[N]`` permutes the
@@ -263,19 +263,31 @@ def unique_compact(keys, capacity: int):
     Semantics match ``ME.utils.sparse_quantize(return_index=True)`` as used in
     the reference (``datasets/CategoryDataset.py:183-191``): one row per
     occupied voxel, first occurrence kept.
+
+    ``compact=True`` uses the single packed uint32 key (num_batches <= 32,
+    coords in [-256, 255]): one fewer sort operand.
     """
     n = keys[0].shape[0]
     order = jnp.arange(n, dtype=jnp.int32)
-    hi, lo = pack_keys(keys)
-    s_hi, s_lo, s_order = jax.lax.sort(
-        (hi, lo, order), num_keys=2, is_stable=True
-    )
+    if compact:
+        k = pack_key_compact(keys)
+        s_k, s_order = jax.lax.sort((k, order), num_keys=1,
+                                    is_stable=True)
+        same_as_prev = s_k == jnp.roll(s_k, 1)
+        is_sentinel = s_k == _COMPACT_SENTINEL
+    else:
+        hi, lo = pack_keys(keys)
+        s_hi, s_lo, s_order = jax.lax.sort(
+            (hi, lo, order), num_keys=2, is_stable=True
+        )
+        same_as_prev = (s_hi == jnp.roll(s_hi, 1)) & (
+            s_lo == jnp.roll(s_lo, 1)
+        )
+        is_sentinel = s_hi == jnp.int32(2**31 - 1)
 
     # Head of each equal-key run, ignoring runs of sentinel padding.
     head = jnp.ones((n,), bool)
-    same_as_prev = (s_hi == jnp.roll(s_hi, 1)) & (s_lo == jnp.roll(s_lo, 1))
     head = head.at[1:].set(~same_as_prev[1:])
-    is_sentinel = s_hi == jnp.int32(2**31 - 1)
     # Within each run, keep the smallest original index (first occurrence):
     # stable sort already puts the smallest original order first in each run.
     keep = head & ~is_sentinel
