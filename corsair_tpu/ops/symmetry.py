@@ -180,9 +180,12 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
     k_cut0, k_cut1, k_r = jax.random.split(key, 3)
     r_keys = jax.random.split(k_r, S + 1)
 
-    # ---- vanilla RANSAC on global correspondences
+    # ---- vanilla RANSAC on global correspondences.
+    # Every candidate's source side is the same (each source point
+    # repeated k times, utils/eval_pose.py:74-79): share one array
+    # instead of stacking [S+1, N0*k, 3] copies.
     idx0, idx1, cvalid = find_kcorr(baseF, posF, k_nn, v0, v1, chunk=chunk)
-    src_all = xyz0[idx0]
+    src_shared = jnp.repeat(xyz0, k_nn, axis=0)
     dst_all = xyz1[idx1]
 
     # ---- symmetric sector cuts
@@ -202,15 +205,13 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
         rows = jnp.arange(n0)
         d_idx = sec_idx[rows, tgt_sector]             # [N0, k]
         d_ok = sec_okm[rows, tgt_sector]              # [N0, k]
-        srcs = jnp.repeat(xyz0, k_nn, axis=0)
         dsts = xyz1[d_idx.reshape(-1)]
         vv = jnp.repeat(v0, k_nn) & d_ok.reshape(-1)
-        return srcs, dsts, vv
+        return dsts, vv
 
-    srcs_s, dsts_s, vs_s = jax.vmap(shift_corr)(perms)  # [S, N0*k, 3]
+    dsts_s, vs_s = jax.vmap(shift_corr)(perms)        # [S, N0*k, 3]
 
-    # stack vanilla + shifts into one RANSAC batch
-    srcs = jnp.concatenate([src_all[None], srcs_s], axis=0)
+    # stack vanilla + shift target sides into one RANSAC batch
     dsts = jnp.concatenate([dst_all[None], dsts_s], axis=0)
     vs = jnp.concatenate([cvalid[None], vs_s], axis=0)
 
@@ -219,16 +220,17 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
             rcfg, score_chunk=config.parallel_score_chunk
         )
         Ts, _, _ = jax.vmap(
-            lambda kk, s, d, v: ransac_correspondences(kk, s, d, v,
-                                                       rcfg_p)
-        )(r_keys, srcs, dsts, vs)
+            lambda kk, d, v: ransac_correspondences(kk, src_shared, d, v,
+                                                    rcfg_p)
+        )(r_keys, dsts, vs)
     else:
         def one_candidate(args):
-            kk, s, d, v = args
-            T, cnt, rmse = ransac_correspondences(kk, s, d, v, rcfg)
+            kk, d, v = args
+            T, cnt, rmse = ransac_correspondences(kk, src_shared, d, v,
+                                                  rcfg)
             return T
 
-        Ts = jax.lax.map(one_candidate, (r_keys, srcs, dsts, vs))
+        Ts = jax.lax.map(one_candidate, (r_keys, dsts, vs))
 
     # ...then all candidates' Chamfer scores in one batched chunked pass
     # (1-direction, utils/preprocess.py:67-70).
