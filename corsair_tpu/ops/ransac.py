@@ -38,9 +38,11 @@ class RansacConfig:
     sample_size: int = 10          # ransac_n=10, utils/eval_pose.py:96
     max_corr_dist: float = 0.2     # evaluation.py Config.max_corr
     refine_iters: int = 2          # refits on inliers of the winner
-    score_chunk: int = 1024        # hypotheses pre-scored per step
+    # One chunk covering all hypotheses: the Pallas scoring kernel tiles
+    # internally, so chunking only added sequential dispatch steps.
+    score_chunk: int = 4096        # hypotheses pre-scored per step
     prescore_subset: int = 4096    # correspondences used in stage 1
-    finalists_per_chunk: int = 16  # stage-2 candidates per chunk
+    finalists_per_chunk: int = 64  # stage-2 candidates per chunk
 
 
 def _score_all(T, src, dst, valid, max_dist2):
