@@ -77,19 +77,17 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
     h_padded = n_chunks * chunk
     max_d2 = jnp.float32(config.max_corr_dist**2)
 
-    # Sample only among valid correspondences: draw from [0, n_valid) in a
-    # compacted index space.
-    # argsort beats an O(n) cumsum+scatter partition here: TPU
-    # random-access scatters cost more than the bitonic sort (measured).
-    order = jnp.argsort(~valid)  # valid rows first
-    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    # Sample uniformly over ALL rows; invalid picks get zero weight in
+    # the Kabsch solve. This avoids sorting the validity mask per call
+    # (a 40k bitonic argsort x 9 candidates dominated the RANSAC cost);
+    # with the high valid fractions of real correspondence sets the
+    # effective hypothesis size is essentially unchanged.
     raw = jax.random.randint(key, (h_padded, s), 0, 2**31 - 1)
-    samp = order[raw % n_valid]                      # [h_padded, s]
+    samp = raw % m                                   # [h_padded, s]
 
-    # Stage-1 scoring subset: strided over the valid rows.
+    # Stage-1 scoring subset: strided rows, invalid ones masked in score.
     msub = min(config.prescore_subset, m)
-    sub_pos = (jnp.arange(msub) * n_valid) // msub
-    sub_idx = order[sub_pos]
+    sub_idx = (jnp.arange(msub) * m) // msub
     src_sub = src[sub_idx]
     dst_sub = dst[sub_idx]
     valid_sub = valid[sub_idx]
@@ -104,7 +102,8 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
     def chunk_step(samp_chunk):
         src_h = src[samp_chunk]                      # [chunk, s, 3]
         dst_h = dst[samp_chunk]
-        Ts = jax.vmap(lambda a, b: kabsch_quaternion(a, b))(src_h, dst_h)
+        w_h = valid[samp_chunk].astype(jnp.float32)  # zero-out invalid
+        Ts = jax.vmap(kabsch_quaternion)(src_h, dst_h, w_h)
         if use_pallas:
             from corsair_tpu.core.kernels.ransac_score import (
                 ransac_score_pallas,
