@@ -128,3 +128,30 @@ class TestEvaluationPhases:
         results = app.eval_registration()
         # chamfer of the aligned pair should be small for at least one query
         assert results.chamfer_dist_sym.min() < 0.5
+
+
+class TestRegisterGtPath:
+    def test_gt_target_and_cache_suffix(self, app, tmp_path_factory):
+        """--register-gt selects the gt CAD targets and writes _gt caches
+        (evaluation.py:400-441 suffix convention)."""
+        import dataclasses as _dc
+        import os
+
+        from corsair_tpu.eval.cache import load_results
+
+        app.eval_retrieval()
+        cache_dir = str(tmp_path_factory.mktemp("gt_cache"))
+        cfg = app.config
+        old_top1, old_dir = cfg.register_top1, cfg.cache_dir
+        cfg.register_top1, cfg.cache_dir = False, cache_dir
+        try:
+            res = app.eval_registration()
+        finally:
+            cfg.register_top1, cfg.cache_dir = old_top1, old_dir
+        assert os.path.exists(
+            os.path.join(cache_dir, "Ts_est_best_chair_gt.npy")
+        )
+        cached = load_results(cache_dir, "chair", False)
+        assert cached is not None
+        # gt registration on near-identical geometry: low chamfer
+        assert res.chamfer_dist_sym.min() < 0.5
