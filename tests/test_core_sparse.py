@@ -268,3 +268,75 @@ class TestCoordinateManager:
             if up[k, j] < nc
         }
         assert pairs_down == pairs_up
+
+
+class TestCompactKeyBoundaries:
+    """Compact single-word key path: boundary and out-of-range behavior."""
+
+    def test_boundary_coords_roundtrip(self):
+        from corsair_tpu.core.sparse import pack_key_compact
+        import itertools
+
+        vals = [-256, -255, -1, 0, 1, 254, 255]
+        coords = np.array(list(itertools.product(vals, repeat=3))[:200],
+                          np.int32)
+        b = np.zeros(len(coords), np.int32)
+        keys = (jnp.asarray(b), jnp.asarray(coords[:, 0]),
+                jnp.asarray(coords[:, 1]), jnp.asarray(coords[:, 2]))
+        packed = np.asarray(pack_key_compact(keys))
+        # injective on in-range keys
+        assert len(np.unique(packed)) == len(
+            np.unique(coords, axis=0)
+        )
+
+    def test_out_of_range_degrades_to_isolated(self):
+        """Coords beyond +-256 map to the sentinel: such voxels must miss
+        every lookup rather than corrupt other rows."""
+        from corsair_tpu.core.coordmap import CoordinateManager
+        from corsair_tpu.core.voxelize import collate_to_grid
+
+        coords = np.array([
+            [0, 0, 0], [1, 0, 0], [300, 300, 300], [-400, 0, 0],
+        ], np.int32)
+        grid = collate_to_grid(
+            [coords], [np.ones((4, 1), np.float32)], 8
+        )
+        maps = CoordinateManager(
+            num_levels=1, level_cap_ratios=(1.0,), compact_keys=True
+        ).build(grid)
+        t = np.asarray(maps.levels[0].self_table)
+        # in-range rows see each other
+        assert t[13, 0] == 0 and t[14, 0] == 1
+        # out-of-range rows never matched by anyone
+        assert not (t[:, :2] == 2).any()
+        assert not (t[:, :2] == 3).any()
+        # and their own queries all miss (center too: sentinel never hits)
+        assert (t[:, 2] == 8).all() and (t[:, 3] == 8).all()
+
+    def test_batch_33_falls_back(self, rng):
+        """num_batches > 32 must fall back to the (hi, lo) path and stay
+        correct."""
+        from corsair_tpu.core.coordmap import CoordinateManager
+        from corsair_tpu.core.voxelize import collate_to_grid
+
+        clouds = [
+            np.unique(rng.randint(-4, 4, (10, 3)).astype(np.int32),
+                      axis=0)
+            for _ in range(33)
+        ]
+        feats = [np.ones((len(c), 1), np.float32) for c in clouds]
+        grid = collate_to_grid(clouds, feats, 512)
+        maps = CoordinateManager(
+            num_levels=1, level_cap_ratios=(1.0,), compact_keys=True
+        ).build(grid)
+        t = np.asarray(maps.levels[0].self_table)
+        batch = np.asarray(grid.batch)
+        valid = np.asarray(grid.valid)
+        # every valid voxel matches itself at the center offset
+        rows = np.nonzero(valid)[0]
+        np.testing.assert_array_equal(t[13, rows], rows)
+        # matches never cross batches
+        for k in range(27):
+            hits = t[k, rows]
+            ok = hits < 512
+            assert (batch[hits[ok]] == batch[rows[ok]]).all()
