@@ -144,15 +144,17 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
     ) + jnp.eye(K) * 100.0
     labels = kmeans_predict(centers, xyz)
     if K == 2:
-        label_order = jnp.arange(2, dtype=jnp.int32)
-    else:
-        rank_centers = jnp.argsort(cdist[0, 1:]).astype(jnp.int32)
-        label_order = jnp.stack([
-            jnp.int32(0),
-            rank_centers[0] + 1,
-            rank_centers[2] + 1,
-            rank_centers[1] + 1,
-        ])
+        # K=2 ordering is the identity (utils/symmetry.py:249-250).
+        # (Also avoids a constant-index scatter that crashes the XLA TPU
+        # scatter emitter: scatter_emitter.cc operand_indices check.)
+        return labels.astype(jnp.int32), ok
+    rank_centers = jnp.argsort(cdist[0, 1:]).astype(jnp.int32)
+    label_order = jnp.stack([
+        jnp.int32(0),
+        rank_centers[0] + 1,
+        rank_centers[2] + 1,
+        rank_centers[1] + 1,
+    ])
     # sector[i] = position of labels[i] in label_order
     inv = jnp.zeros((K,), jnp.int32).at[label_order].set(
         jnp.arange(K, dtype=jnp.int32)
