@@ -55,6 +55,11 @@ class Config:
     batch_size: int = 32
     reg_batch_size: int = 8
     config_dir: Optional[str] = None
+    # smoke runs: evaluate only the first N scan objects (0 = all)
+    limit_scans: int = 0
+    # reproduce the reference's exact eval path (triplet mining with
+    # bad-scan substitution) instead of the mining-free eval items
+    strict_protocol: bool = False
 
     def __post_init__(self):
         if self.category not in CATIDS:
@@ -85,11 +90,14 @@ def build_parser(script_dir: str) -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--reg-batch-size", type=int, default=8)
     p.add_argument("--config-dir", type=str, default=None)
+    p.add_argument("--limit-scans", type=int, default=0)
+    p.add_argument("--strict-protocol", action="store_true")
     return p
 
 
 class App:
-    def __init__(self, config: Config, logger: Optional[Logger] = None):
+    def __init__(self, config: Config, logger: Optional[Logger] = None,
+                 extractor_config: Optional[ExtractorConfig] = None):
         self.config = config
         self.logger = logger or Logger("./logs", "evaluation.txt")
         self.logger.log(f"category: {config.category}")
@@ -127,6 +135,9 @@ class App:
             config_dir=config.config_dir,
         )
         self.dataset.pos_n = 1  # GT best match during evaluation
+        self.dataset.strict_protocol = config.strict_protocol
+        if config.limit_scans:
+            self.dataset.limit(config.limit_scans)
         sym_file = os.path.join(
             cfg_dir, f"{config.catid}_scan2cad_rot_sym_label.txt"
         )
@@ -139,7 +150,9 @@ class App:
         import jax
         self.key = jax.random.PRNGKey(config.random_seed)
 
-        self.extractor = FeatureExtractor(ExtractorConfig())
+        self.extractor = FeatureExtractor(
+            extractor_config or ExtractorConfig()
+        )
         if config.checkpoint and os.path.exists(config.checkpoint):
             from corsair_tpu.nn.torch_convert import load_corsair_checkpoint
             model_p, emb_p, epoch = load_corsair_checkpoint(

@@ -71,6 +71,22 @@ class ScannetDataset(CategoryDataset):
         self.pos_n = int(len(self.CADLib.CadPcs) * pos_ratio)
         self.neg_n = int(len(self.CADLib.CadPcs) * neg_ratio)
         self.fix_trans = np.load(os.path.join(cfg_dir, "fix_trans.npy"))
+        # Reference eval protocol runs the triplet __getitem__ (with its
+        # mining-failure scan substitution) even at test time
+        # (``evaluation.py:160``); ``eval_item`` skips mining by default.
+        # See ARCHITECTURE.md "Eval-path mining substitution".
+        self.strict_protocol = False
+
+    def limit(self, n: int):
+        """Truncate to the first ``n`` scan objects (smoke runs)."""
+        if n < 1:
+            raise ValueError(f"limit must be >= 1, got {n}")
+        self.files = self.files[:n]
+        self.BestMatches = self.BestMatches[:n]
+        self.CadPoses = self.CadPoses[:n]
+        self.ScanPoses = self.ScanPoses[:n]
+        self.pcs = self.pcs[:n]
+        return self
 
     def __len__(self):
         return len(self.files)
@@ -90,31 +106,36 @@ class ScannetDataset(CategoryDataset):
             return self.CADLib.CadPcs[idx]
         return load_raw_pc(self.CADLib.CadPcs[idx], 10000)
 
+    @staticmethod
+    def _rank_decayed_pick(n_ranks: int) -> int:
+        """Draw a rank in [0, n_ranks) with linearly decaying probability
+        P(i) ∝ n_ranks - i — rank 0 is most likely, the last rank least.
+        Matches the sampling law of ``datasets/ScannetDataset.py:136-166``
+        (including the np.random stream consumption, so seeded runs
+        reproduce the reference's draws)."""
+        weights = np.arange(n_ranks, 0, -1, dtype=np.float64)
+        return int(np.random.choice(n_ranks, p=weights / weights.sum()))
+
     def generate_positive_inst(self, scanidx):
-        """Positive CADs around the best match
-        (``datasets/ScannetDataset.py:136-151``)."""
-        if self.pos_n > 0:
-            cadidx = self.id2idx[self.BestMatches[scanidx]]
-            topn = self.pos_n
-            dist_rank = np.argsort(self.table[cadidx, :])
-            valid = (self.table[cadidx, :] < 0.15).nonzero()[0]
-            topn = max(min(topn, len(valid)), 1)
-            prob = 2 * (np.arange(topn) + 1) / ((1 + topn) * topn)
-            prob = np.flip(prob)
-            select_idx = np.random.choice(np.arange(topn), p=prob)
-            return dist_rank[select_idx]
-        return self.id2idx[self.BestMatches[scanidx]]
+        """Sample a positive CAD: one of the ``pos_n`` Chamfer-nearest
+        neighbors of the scan's best match, restricted to CD < 0.15,
+        nearer ranks favored. ``pos_n == 1`` (the eval setting) always
+        returns the best match itself, since ``table[r, r] = 0``."""
+        best = self.id2idx[self.BestMatches[scanidx]]
+        if self.pos_n <= 0:
+            return best
+        n_close = int(np.count_nonzero(self.table[best] < 0.15))
+        n_ranks = max(min(self.pos_n, n_close), 1)
+        return self.rank_a[best, self._rank_decayed_pick(n_ranks)]
 
     def generate_negative_inst(self, scanidx):
-        cadidx = self.id2idx[self.BestMatches[scanidx]]
-        topn = self.neg_n
-        dist_rank = np.argsort(-self.table[cadidx, :])
-        valid = (self.table[cadidx, :] > 0.2).nonzero()[0]
-        topn = max(min(topn, len(valid) - 1), 1)
-        prob = 2 * (np.arange(topn) + 1) / ((1 + topn) * topn)
-        prob = np.flip(prob)
-        select_idx = np.random.choice(np.arange(topn), p=prob)
-        return dist_rank[select_idx]
+        """Sample a negative CAD: one of the ``neg_n`` Chamfer-farthest
+        models from the best match, restricted to CD > 0.2, farther ranks
+        favored."""
+        best = self.id2idx[self.BestMatches[scanidx]]
+        n_far = int(np.count_nonzero(self.table[best] > 0.2))
+        n_ranks = max(min(self.neg_n, n_far - 1), 1)
+        return self.rank_d[best, self._rank_decayed_pick(n_ranks)]
 
     def __getitem__(self, idx):
         failed_count = 0
@@ -201,7 +222,7 @@ class ScannetDataset(CategoryDataset):
             pip, pin, nin,
         )
 
-    def eval_item(self, idx):
+    def eval_item(self, idx, strict: Optional[bool] = None):
         """Evaluation-path item: only the scan object (no triplet mining).
 
         The reference reuses the triplet ``__getitem__`` with
@@ -209,7 +230,31 @@ class ScannetDataset(CategoryDataset):
         lighter path skips pair mining while keeping the identical
         geometry protocol, and reports the GT best-match index + symmetry
         (collated as ``pos_idx``/``pos_sym``).
+
+        ``strict`` (default: ``self.strict_protocol``) switches to the
+        reference's exact path: run the triplet item including pair
+        mining, so a scan whose mining fails 100x is blacklisted and
+        substituted by a random other scan — changing the evaluated set
+        exactly as ``datasets/ScannetDataset.py:197-209`` does. With
+        ``pos_n = 1`` the positive is the deterministic best match, so
+        the geometry of non-substituted items is identical either way
+        (pinned by tests/test_real_protocol.py).
         """
+        if strict is None:
+            strict = self.strict_protocol
+        if strict:
+            base, _pos, _neg, _pip, _pin, _nin = self[idx]
+            new_idx = base["idx"]
+            best_idx = self.id2idx[self.BestMatches[new_idx]]
+            return {
+                "coord": base["coord"],
+                "origin": base["origin"],
+                "feat": base["feat"],
+                "T": base["T"],
+                "idx": new_idx,
+                "pos_idx": best_idx,
+                "pos_sym": self._get_sym(best_idx),
+            }
         best_idx = self.id2idx[self.BestMatches[idx]]
         base_coords = self._getscan(idx)
         T_base = to_T(

@@ -69,31 +69,48 @@ def compute_mAP(descriptors: np.ndarray, gt_labels: np.ndarray):
     return float(np.mean(inst_scores)), mAP_cls
 
 
+def _topk_membership(pred_topk: np.ndarray, gt_topk: np.ndarray,
+                     n_items: int) -> np.ndarray:
+    """``out[i, j] = pred_topk[i, j] in gt_topk[i]`` for per-row top-k
+    windows, via one scattered membership table instead of per-row
+    ``isin`` scans."""
+    rows = np.arange(len(gt_topk))[:, None]
+    member = np.zeros((len(gt_topk), n_items), bool)
+    member[rows, gt_topk] = True
+    return member[rows, pred_topk]
+
+
 def retrieval_dist(dists: np.ndarray, threshold: float, table: np.ndarray):
-    """Self-retrieval metrics from a precomputed distance matrix
-    (``utils/retrieval.py:46-79``)."""
-    stat = {}
-    scores, precision, top1_error = [], [], []
+    """Self-retrieval metrics from a precomputed distance matrix.
+
+    Protocol per ``utils/retrieval.py:46-79``: the predicted window skips
+    rank 0 (the query itself is in the library); the ground-truth window
+    starts at rank 0 because the CD table's diagonal is the 200 sentinel
+    (which also sorts the self-match last); a predicted/GT top-1 pair that
+    hits the sentinel counts as zero Top1-CD error.
+    """
     accept_range = int(len(dists) * threshold)
-    rank_pd = np.argsort(dists, axis=1)
-    rank_gt = np.argsort(table, axis=1)
-    for d, p, g in zip(dists, rank_pd, rank_gt):
-        p = p[1 : accept_range + 1]     # exclude self
-        g = g[:accept_range]
-        positive = np.isin(p, g).astype(np.int32)
-        if table[p[0], g[0]] == 200:
-            top1_error.append(0)
-        else:
-            top1_error.append(table[p[0], g[0]])
-        precision.append(100.0 * np.sum(positive) / accept_range)
-        if np.sum(positive) == 0:
-            scores.append(0.0)
-        else:
-            scores.append(100.0 * average_precision(positive, 2 - d[p]))
-    stat["mAP"] = float(np.mean(scores))
-    stat["percision"] = float(np.mean(precision))  # sic — reference key
-    stat["top1_error"] = float(np.mean(top1_error))
-    return stat
+    rows = np.arange(len(dists))
+    pred = np.argsort(dists, axis=1)[:, 1 : accept_range + 1]
+    gt = np.argsort(table, axis=1)[:, :accept_range]
+    positive = _topk_membership(pred, gt, table.shape[1])
+
+    top1_cd = table[pred[:, 0], gt[:, 0]]
+    top1_cd = np.where(top1_cd == 200, 0.0, top1_cd)
+
+    hits = positive.sum(axis=1)
+    ap = np.zeros(len(dists))
+    for i in rows[hits > 0]:
+        ap[i] = 100.0 * average_precision(
+            positive[i].astype(np.int32), 2 - dists[i, pred[i]]
+        )
+    return {
+        "mAP": float(np.mean(ap)),
+        "percision": float(  # sic — reference result key
+            np.mean(100.0 * hits / accept_range)
+        ),
+        "top1_error": float(np.mean(top1_cd)),
+    }
 
 
 def retrieval_eval(descriptors: np.ndarray, threshold: float,
@@ -109,21 +126,25 @@ def get_rank(descriptors: np.ndarray, top_n: int = 10):
 
 def scan2cad_retrieval_eval_dist(dists: np.ndarray, table: np.ndarray,
                                  best_match: np.ndarray, pos_n: int):
-    """Scan2CAD retrieval metrics (``utils/retrieval.py:139-167``)."""
-    precision, top1_error, top1_predict, gt = [], [], [], []
-    pred_rank = np.argsort(dists, 1)
-    gt_rank = np.argsort(table[best_match, :], 1)
-    for g, p in zip(gt_rank, pred_rank):
-        positive = np.isin(p[:pos_n], g[:pos_n]).astype(np.int32)
-        precision.append(100.0 * np.sum(positive) / pos_n)
-        top1_error.append(table[p[0], g[0]])
-        top1_predict.append(int(p[0]))
-        gt.append(int(g[0]))
+    """Scan2CAD retrieval metrics.
+
+    Protocol per ``utils/retrieval.py:139-167``: scans are NOT in the CAD
+    library, so (unlike ``retrieval_dist``) the predicted window starts at
+    rank 0; ground truth is the Chamfer ranking of each scan's annotated
+    best-match row. Returns the per-scan top-1 predictions/GT reused as
+    registration targets (``evaluation.py:301``).
+    """
+    pred = np.argsort(dists, axis=1)
+    gt = np.argsort(table[best_match, :], axis=1)
+    positive = _topk_membership(pred[:, :pos_n], gt[:, :pos_n],
+                                table.shape[1])
     return {
-        "precision": sum(precision) / len(precision),
-        "top1_error": sum(top1_error) / len(top1_error),
-        "top1_predict": top1_predict,
-        "gt": gt,
+        "precision": float(
+            np.mean(100.0 * positive.sum(axis=1) / pos_n)
+        ),
+        "top1_error": float(np.mean(table[pred[:, 0], gt[:, 0]])),
+        "top1_predict": [int(i) for i in pred[:, 0]],
+        "gt": [int(i) for i in gt[:, 0]],
     }
 
 

@@ -25,12 +25,60 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _hypercube_offsets(kernel_size: int, ndim: int, order: str,
+                       sign: int) -> np.ndarray:
+    """Hypothesized ME kernel-offset enumeration: centered offsets with
+    dim-0 fastest (``order='F'``) or dim-last fastest (``'C'``), optionally
+    negated (``sign=-1`` models the opposite gather direction)."""
+    half = kernel_size // 2
+    rng = np.arange(-half, half + 1, dtype=np.int32)
+    grids = np.meshgrid(*([rng] * ndim), indexing="ij")
+    offs = np.stack(
+        [g.reshape(-1, order=order) for g in grids], axis=1
+    )
+    return sign * offs
+
+
+def offset_permutation_candidates(kernel_size: int = 3, ndim: int = 3
+                                  ) -> Dict[str, np.ndarray]:
+    """All plausible ME kernel-axis orderings, as permutations mapping OUR
+    enumeration (``core.coordmap.kernel_offsets``: dim-0 fastest, -1..1)
+    onto the torch kernel's K axis: ``ours_kernel[k] = torch_kernel[perm[k]]``.
+
+    Used by ``nn.ckpt_verify.detect_offset_permutation`` to self-check a
+    released checkpoint at load time (the enumeration order of ME 0.5's
+    C++ kernel-region iterator cannot be re-verified in this environment;
+    see NOTES.md §1).
+    """
+    from corsair_tpu.core.coordmap import kernel_offsets
+
+    ours = kernel_offsets(kernel_size, ndim)
+    cands = {}
+    for name, (order, sign) in {
+        "identity": ("F", 1),
+        "reverse": ("F", -1),
+        "c_order": ("C", 1),
+        "c_order_reverse": ("C", -1),
+    }.items():
+        me = _hypercube_offsets(kernel_size, ndim, order, sign)
+        # perm[k] = row of the hypothesized ME table equal to our offset k
+        match = np.all(me[None, :, :] == ours[:, None, :], axis=2)
+        perm = np.argmax(match, axis=1)
+        assert np.all(match[np.arange(len(ours)), perm]), name
+        cands[name] = perm.astype(np.int64)
+    return cands
+
+
 def _perm(k: int, spec: Union[str, Sequence[int]]):
     if isinstance(spec, str):
         if spec == "identity":
             return np.arange(k)
         if spec == "reverse":
             return np.arange(k)[::-1]
+        kernel_size = round(k ** (1 / 3))
+        cands = offset_permutation_candidates(kernel_size)
+        if spec in cands:
+            return cands[spec]
         raise ValueError(spec)
     return np.asarray(spec)
 
@@ -121,14 +169,29 @@ def convert_conv1_max_embedding(state_dict: Dict):
     }
 
 
-def load_corsair_checkpoint(path: str, offset_permutation="identity"):
+def load_corsair_checkpoint(path: str, offset_permutation="auto"):
     """Load a released CORSAIR torch checkpoint into JAX params.
+
+    ``offset_permutation="auto"`` self-checks the ME kernel-offset
+    enumeration at load time: each candidate ordering is scored by
+    BN-statistics consistency on CPU probe clouds and the winner is used
+    (``nn.ckpt_verify.detect_offset_permutation``; logged to stdout).
 
     Returns (resunet_params, embedding_params, epoch).
     """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if offset_permutation == "auto":
+        from corsair_tpu.nn.ckpt_verify import detect_offset_permutation
+
+        scores = detect_offset_permutation(ckpt["state_dict"])
+        offset_permutation = min(scores, key=scores.get)
+        print(f"[ckpt] offset permutation auto-detect: "
+              f"{offset_permutation} (BN-consistency scores: "
+              + ", ".join(f"{k}={v:.4f}" for k, v in
+                          sorted(scores.items(), key=lambda kv: kv[1]))
+              + ")")
     model = convert_resunet(ckpt["state_dict"], offset_permutation)
     emb = None
     if "embedding_state_dict" in ckpt:

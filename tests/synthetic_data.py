@@ -159,3 +159,108 @@ def build_tree(root, n_cads=6, n_scans=4, n_points=400, seed=0):
         "model_ids": model_ids,
         "scan_files": scan_files,
     }
+
+
+def parse_sym_label_paths(sym_label_path):
+    """The vendored sym-label file lists, per library index, the original
+    CAD npy path (``.../<catid>/<split>/<id>.npy``) and the symmetry
+    label. Returns [(split, model_id, sym), ...] in library order."""
+    entries = []
+    with open(sym_label_path) as f:
+        for line in f:
+            path, sym = line.strip("\n").split(" ")
+            parts = path.split("/")
+            entries.append((parts[-2], parts[-1].split(".")[0], int(sym)))
+    return entries
+
+
+def build_tree_real_configs(root, config_dir, catid=CATID,
+                            n_test_scenes=3, n_train_scenes=2,
+                            scans_per_scene=2, n_points=256, seed=0):
+    """Synthetic point clouds around the REAL vendored config artifacts.
+
+    The CAD library is the real one (all 652 chair model ids, in the real
+    library order, each split into its original train/val/test subdir) so
+    the real 652x652 CD table, sym labels, ``fix_trans.npy`` and scene
+    split lists load unmodified; only the point clouds themselves (absent
+    from this environment) are synthesized. Scan scenes are drawn from the
+    real split lists so the scene-level split logic runs for real.
+    """
+    rng = np.random.RandomState(seed)
+    shapenet = os.path.join(root, "ShapeNetCore.v2.PC15k")
+    scans = os.path.join(root, "Scan2CAD_pc")
+    annos = os.path.join(root, "Scan2CAD_annotations")
+    os.makedirs(scans, exist_ok=True)
+    os.makedirs(annos, exist_ok=True)
+
+    entries = parse_sym_label_paths(
+        os.path.join(config_dir, f"{catid}_scan2cad_rot_sym_label.txt")
+    )
+    for split in ("train", "val", "test"):
+        os.makedirs(os.path.join(shapenet, catid, split), exist_ok=True)
+
+    cad_pcs = {}
+    for i, (split, mid, _sym) in enumerate(entries):
+        pc = make_shape(rng, i % 4, n_points)
+        cad_pcs[mid] = pc
+        np.save(os.path.join(shapenet, catid, split, f"{mid}.npy"), pc)
+
+    with open(os.path.join(annos, "unique_cads.csv"), "w") as f:
+        for _split, mid, _sym in entries:
+            f.write(f"{catid},{mid}\n")
+
+    with open(os.path.join(config_dir, "scannet_val.txt")) as f:
+        test_scenes = [line.strip("\n") for line in f][:n_test_scenes]
+    with open(os.path.join(config_dir, "scannet_train.txt")) as f:
+        train_scenes = [line.strip("\n") for line in f][:n_train_scenes]
+    with open(os.path.join(config_dir, "scannet_omit.txt")) as f:
+        omits = {line.strip("\n") for line in f}
+
+    from corsair_tpu.ops.transforms import apply_transform, to_T
+
+    def rand_trs():
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        return {
+            "translation": rng.uniform(-0.3, 0.3, 3).tolist(),
+            "rotation": q.tolist(),
+            "scale": [1.0, 1.0, 1.0],
+        }
+
+    annotations = []
+    scan_files = []
+    for scene in test_scenes + train_scenes:
+        trs_scan = rand_trs()
+        T_base = to_T(trs_scan["translation"], trs_scan["rotation"],
+                      trs_scan["scale"])
+        models = []
+        for j in range(scans_per_scene):
+            cad_i = int(rng.randint(0, len(entries)))
+            mid = entries[cad_i][1]
+            fname = f"{scene}.{j}.{catid}.{mid}.npy"
+            trs_cad = rand_trs()
+            models.append({"trs": trs_cad})
+            if fname in omits:
+                continue
+            T_pos = to_T(trs_cad["translation"], trs_cad["rotation"],
+                         trs_cad["scale"])
+            noisy = cad_pcs[mid] + rng.randn(n_points, 3) * 0.01
+            scan_pc = apply_transform(noisy, np.linalg.inv(T_base) @ T_pos)
+            np.save(os.path.join(scans, fname), scan_pc)
+            scan_files.append(fname)
+        annotations.append({
+            "id_scan": scene,
+            "trs": trs_scan,
+            "aligned_models": models,
+        })
+    with open(os.path.join(annos, "full_annotations.json"), "w") as f:
+        json.dump(annotations, f)
+
+    return {
+        "shapenet_root": shapenet,
+        "scan_root": scans,
+        "annotation_root": annos,
+        "config_dir": config_dir,
+        "model_ids": [e[1] for e in entries],
+        "scan_files": scan_files,
+    }
