@@ -102,13 +102,14 @@ def main():
     cad_idx = np.arange(n_queries) % n_lib
 
     # Phase A (once): library features
-    lib_feats, lib_desc = extractor.extract_padded(
+    lib_feats, lib_desc, lib_ovf = extractor.extract_padded(
         params, lib_c, lib_v, manager
     )
     jax.block_until_ready(lib_desc)
+    assert not np.asarray(lib_ovf).any(), "level capacity overflow"
 
     def run_once():
-        q_feats, q_desc = extractor.extract_padded(
+        q_feats, q_desc, _ = extractor.extract_padded(
             params, q_c, q_v, manager
         )
         results = []

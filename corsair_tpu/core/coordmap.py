@@ -79,6 +79,10 @@ class LevelMaps:
 @dataclasses.dataclass(frozen=True)
 class UNetMaps:
     levels: Tuple[LevelMaps, ...]
+    # [num_levels] bool: level capacity overflowed during dedup (voxels
+    # dropped). Pipelines must check and fail loudly; see
+    # ``pipeline.FeatureExtractor.extract_batch_np``.
+    overflow: Optional[jax.Array] = None
 
 
 def _keys(coords, batch, valid):
@@ -120,11 +124,17 @@ def neighbor_table(
 
 
 def downsample_coords(coords, batch, valid, stride: int, out_capacity: int,
-                      factor: int = 2, compact: bool = False):
+                      factor: int = 2, compact: bool = False,
+                      with_overflow: bool = False):
     """Coarsen a coordinate set by ``factor``:
     ``unique(floor(c / (factor*t)) * factor*t)``.
 
-    Returns (coords, batch, valid) with ``out_capacity`` rows.
+    Returns (coords, batch, valid) with ``out_capacity`` rows; the output
+    rows are in packed-key order (the dedup's sort order). With
+    ``with_overflow`` a fourth scalar bool reports whether the unique set
+    exceeded ``out_capacity`` (voxels silently dropped) — consumers must
+    surface it (SURVEY §7.3: an undersized level capacity has zero signal
+    otherwise).
     """
     t2 = stride * factor
     coarse = jnp.where(
@@ -135,6 +145,9 @@ def downsample_coords(coords, batch, valid, stride: int, out_capacity: int,
     out_coords = jnp.where(kept[:, None], coarse[perm], SENTINEL)[:out_capacity]
     out_batch = jnp.where(kept, batch[perm], SENTINEL)[:out_capacity]
     out_valid = kept[:out_capacity]
+    if with_overflow:
+        overflow = jnp.sum(kept) > out_capacity
+        return out_coords, out_batch, out_valid, overflow
     return out_coords, out_batch, out_valid
 
 
@@ -182,9 +195,14 @@ def build_unet_maps_host(coords: np.ndarray, batch: np.ndarray,
     caps[0] = capacity
 
     def pad_coords(c, b, cap):
+        if len(c) > cap:
+            raise ValueError(
+                f"level capacity overflow: {len(c)} voxels > cap {cap} "
+                "(raise level_cap_ratios)"
+            )
         out_c = np.full((cap, 3), SENTINEL, np.int32)
         out_b = np.full((cap,), 2**15 - 1, np.int32)
-        n = min(len(c), cap)
+        n = len(c)
         out_c[:n] = c[:n]
         out_b[:n] = b[:n]
         valid = np.zeros(cap, bool)
@@ -197,6 +215,18 @@ def build_unet_maps_host(coords: np.ndarray, batch: np.ndarray,
     for lvl in range(1, num_levels):
         pc, pb, _ = per_level[-1]
         oc, ob = runtime.downsample(pc, pb, stride * 2, caps[lvl])
+        if len(oc) == caps[lvl]:
+            # full-to-capacity is ambiguous with silent truncation in the
+            # native dedup: recount exactly and fail loudly on overflow
+            coarse = (pc // (stride * 2)) * (stride * 2)
+            n_unique = len(np.unique(
+                np.concatenate([pb[:, None], coarse], axis=1), axis=0
+            ))
+            if n_unique > caps[lvl]:
+                raise ValueError(
+                    f"level {lvl} capacity overflow: {n_unique} unique "
+                    f"voxels > cap {caps[lvl]} (raise level_cap_ratios)"
+                )
         stride *= 2
         per_level.append((oc, ob, stride))
 
@@ -232,7 +262,9 @@ def build_unet_maps_host(coords: np.ndarray, batch: np.ndarray,
             up_table=None if up is None else jnp.asarray(up),
             stride=t,
         ))
-    return UNetMaps(levels=tuple(levels))
+    # host path raises on overflow above — flags are always clean here
+    return UNetMaps(levels=tuple(levels),
+                    overflow=jnp.zeros((num_levels,), bool))
 
 
 def level_occupancy(maps: "UNetMaps"):
@@ -258,6 +290,7 @@ class CoordinateManager:
         kernel_size: int = 3,
         level_cap_ratios: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
         compact_keys: bool = True,
+        fast_merge: bool = False,
     ):
         self.num_levels = num_levels
         self.kernel_size = kernel_size
@@ -269,32 +302,129 @@ class CoordinateManager:
         # num_batches <= 32 and coords within [-256, 255]; larger batches
         # fall back to the (hi, lo) path automatically.
         self.compact_keys = compact_keys
+        # Merge path: each level's packed keys are sorted ONCE, and every
+        # neighbor lookup becomes a bitonic MERGE of two pre-sorted
+        # sequences (log n passes instead of a log^2 n bitonic sort per
+        # table). Bit-identical to the generic path (test_merge_join.py)
+        # but the pure-jnp compare-exchange stages lower poorly on TPU
+        # (reshape relayouts each stage): measured 2x SLOWER than
+        # lax.sort at bench shapes, so OFF by default. It is the right
+        # algorithm for a Pallas kernel (whole problem fits VMEM) — see
+        # NOTES.md perf log.
+        # Requires the compact-key regime plus the interior guard band
+        # |coord| <= COMPACT_SAFE_COORD (enforced loudly by the host
+        # collate/pad helpers).
+        self.fast_merge = fast_merge
 
     def build(self, grid: SparseGrid) -> UNetMaps:
-        from corsair_tpu.core.sparse import (
-            COMPACT_MAX_BATCH,
-            lookup_merge_compact,
-        )
+        from corsair_tpu.core.sparse import COMPACT_MAX_BATCH
 
-        cap0 = grid.capacity
-        caps = [
-            max(8, int(cap0 * r)) for r in self.level_cap_ratios
-        ][: self.num_levels]
         use_compact = (
             self.compact_keys and grid.num_batches <= COMPACT_MAX_BATCH
         )
+        if use_compact and self.fast_merge:
+            return self._build_merge(grid)
+        return self._build_generic(grid, use_compact)
+
+    def _level_caps(self, cap0: int):
+        return [
+            max(8, int(cap0 * r)) for r in self.level_cap_ratios
+        ][: self.num_levels]
+
+    def _build_merge(self, grid: SparseGrid) -> UNetMaps:
+        """One sort per level + bitonic merge-joins for every table."""
+        from corsair_tpu.core.sparse import (
+            bitonic_merge_join,
+            pack_key_compact,
+            pack_offset_deltas,
+            shifted_query_keys,
+            sort_table_compact,
+        )
+
+        caps = self._level_caps(grid.capacity)
+        offs = self.offsets
+
+        # Per level: coords/batch/valid, stride, sorted keys, the original
+        # row of each sorted slot (None = already key-sorted), and the
+        # inverse permutation (original row -> sorted slot; None = id).
+        coords, batch, valid = grid.coords, grid.batch, grid.valid
+        stride = grid.stride
+        sk0, srows0 = sort_table_compact(_keys(coords, batch, valid))
+        inv0 = jnp.zeros((grid.capacity,), jnp.int32).at[srows0].set(
+            jnp.arange(grid.capacity, dtype=jnp.int32)
+        )
+        per_level = [dict(coords=coords, batch=batch, valid=valid,
+                          stride=stride, sk=sk0, srows=srows0, inv=inv0)]
+        overflows = [jnp.asarray(False)]
+        for lvl in range(1, self.num_levels):
+            coords, batch, valid, ovf = downsample_coords(
+                coords, batch, valid, stride, caps[lvl], compact=True,
+                with_overflow=True,
+            )
+            stride *= 2
+            # downsample output is in packed-key order already
+            sk = pack_key_compact(_keys(coords, batch, valid))
+            rows = jnp.arange(caps[lvl], dtype=jnp.int32)
+            per_level.append(dict(coords=coords, batch=batch, valid=valid,
+                                  stride=stride, sk=sk, srows=rows,
+                                  inv=None))
+            overflows.append(ovf)
+
+        def join(table_lvl, query_lvl, offsets, dilation):
+            tbl = per_level[table_lvl]
+            qry = per_level[query_lvl]
+            qk = shifted_query_keys(
+                qry["sk"], pack_offset_deltas(offsets, dilation)
+            )
+            res = bitonic_merge_join(
+                tbl["sk"], tbl["srows"], qk, tbl["sk"].shape[0]
+            )
+            if qry["inv"] is not None:  # back to original column order
+                res = res[:, qry["inv"]]
+            return res
+
+        levels = []
+        for lvl, entry in enumerate(per_level):
+            t = entry["stride"]
+            self_table = join(lvl, lvl, offs, t)
+            if lvl > 0:
+                pt = per_level[lvl - 1]["stride"]
+                # Stride-2 conv: coarse output y gathers fine y + o*t_fine;
+                # transpose conv: fine output x gathers coarse x - o*t_fine
+                # (adjoint pairing, same kernel index).
+                down_table = join(lvl - 1, lvl, offs, pt)
+                up_table = join(lvl, lvl - 1, -offs, pt)
+            else:
+                down_table = None
+                up_table = None
+            levels.append(LevelMaps(
+                coords=entry["coords"], batch=entry["batch"],
+                valid=entry["valid"],
+                self_table=self_table, down_table=down_table,
+                up_table=up_table, stride=t,
+            ))
+        return UNetMaps(levels=tuple(levels),
+                        overflow=jnp.stack(overflows))
+
+    def _build_generic(self, grid: SparseGrid, use_compact: bool
+                       ) -> UNetMaps:
+        from corsair_tpu.core.sparse import lookup_merge_compact
+
+        caps = self._level_caps(grid.capacity)
 
         coords, batch, valid = grid.coords, grid.batch, grid.valid
         levels = []
         stride = grid.stride
         per_level = [(coords, batch, valid, stride)]
+        overflows = [jnp.asarray(False)]
         for lvl in range(1, self.num_levels):
-            coords, batch, valid = downsample_coords(
+            coords, batch, valid, ovf = downsample_coords(
                 coords, batch, valid, stride, caps[lvl],
-                compact=use_compact,
+                compact=use_compact, with_overflow=True,
             )
             stride *= 2
             per_level.append((coords, batch, valid, stride))
+            overflows.append(ovf)
 
         if use_compact:
             def nt(lvl_table, qc, qb, qv, offsets, dilation):
@@ -338,4 +468,5 @@ class CoordinateManager:
                     stride=t,
                 )
             )
-        return UNetMaps(levels=tuple(levels))
+        return UNetMaps(levels=tuple(levels),
+                        overflow=jnp.stack(overflows))

@@ -113,6 +113,12 @@ def pack_keys(keys):
 
 COMPACT_MAX_BATCH = 32   # 5 bits
 COMPACT_COORD_RANGE = 256  # 9 bits signed: [-256, 255]
+# Interior guard band for the shifted-key merge join: kernel offsets are
+# dilated by at most 8 (stride-8 level, offsets -1..1), so coordinates
+# within [-248, 247] can never overflow a 9-bit field when shifted. The
+# host collate/pad helpers enforce this loudly (a unit-normalized cloud at
+# voxel 0.03 spans roughly +-80, so real data has 3x headroom).
+COMPACT_SAFE_COORD = COMPACT_COORD_RANGE - 9
 _COMPACT_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
@@ -149,6 +155,105 @@ def sort_table_compact(table_keys):
     return s_keys, s_rows
 
 
+def pack_offset_deltas(offsets: np.ndarray, dilation: int) -> np.ndarray:
+    """Key-space deltas of dilated kernel offsets under the compact
+    packing: ``pack(c + o*d) == pack(c) + delta[o]`` in wrapping uint32
+    arithmetic, valid whenever every shifted coordinate stays inside one
+    9-bit field (|coord| <= COMPACT_SAFE_COORD guarantees it).
+
+    This is the identity that turns neighbor-table construction into a
+    sorted-sorted merge: a key-sorted level shifted by a constant is
+    still sorted in the same order.
+    """
+    d = offsets.astype(np.int64) * int(dilation)
+    delta = (d[:, 0] << 18) + (d[:, 1] << 9) + d[:, 2]
+    return (delta % (1 << 32)).astype(np.uint32)
+
+
+def shifted_query_keys(sorted_keys, deltas: np.ndarray):
+    """``[K, N]`` query keys: the sorted level keys under each kernel
+    offset's key-space delta. Sentinel (padding) rows stay sentinel; each
+    row remains ascending."""
+    qk = sorted_keys[None, :] + jnp.asarray(deltas)[:, None]
+    return jnp.where(
+        sorted_keys[None, :] == _COMPACT_SENTINEL, _COMPACT_SENTINEL, qk
+    )
+
+
+def bitonic_merge_join(sorted_keys, sorted_rows, query_keys,
+                       table_capacity: int):
+    """Merge-join pre-sorted queries against a pre-sorted table.
+
+    ``sorted_keys`` uint32 ``[N]`` ascending (sentinel padding at the
+    tail); ``sorted_rows`` int32 ``[N]`` the original table row of each
+    sorted slot; ``query_keys`` uint32 ``[K, M]``, each row ascending.
+    Returns int32 ``[K, M]``: the matching original table row per query
+    (in sorted-query order), ``table_capacity`` on miss.
+
+    The concatenation [table ascending | sentinel pad | queries reversed]
+    is a bitonic sequence, so a full sort needs only the log2(n)
+    compare-exchange stages of a bitonic MERGE — not the log^2(n) stages
+    of a general bitonic sort. This is what makes one-sort-per-level
+    coordinate maps pay off: every one of the K offset lookups reuses the
+    level's single sort.
+    """
+    k, m = query_keys.shape
+    n_table = sorted_keys.shape[0]
+    total = n_table + m
+    n = 1 << int(np.ceil(np.log2(total)))
+    pad = n - total
+    qbit = jnp.uint32(1 << 31)
+
+    keys = jnp.concatenate([
+        jnp.broadcast_to(sorted_keys[None], (k, n_table)),
+        jnp.full((k, pad), _COMPACT_SENTINEL),
+        query_keys[:, ::-1],
+    ], axis=1)
+    qpos = qbit + jnp.arange(m, dtype=jnp.uint32)
+    payload = jnp.concatenate([
+        jnp.broadcast_to(sorted_rows.astype(jnp.uint32)[None],
+                         (k, n_table)),
+        jnp.full((k, pad), qbit + jnp.uint32(m)),  # pads -> drop slot
+        jnp.broadcast_to(qpos[None, ::-1], (k, m)),
+    ], axis=1)
+
+    # Bitonic merge. Ties (a real table key and its matching query key)
+    # order by payload: table rows (< 2^31) come first, which the
+    # cummax join below relies on.
+    s = n // 2
+    while s >= 1:
+        ks = keys.reshape(k, -1, 2, s)
+        ps = payload.reshape(k, -1, 2, s)
+        ak, bk = ks[:, :, 0], ks[:, :, 1]
+        ap, bp = ps[:, :, 0], ps[:, :, 1]
+        swap = (ak > bk) | ((ak == bk) & (ap > bp))
+        keys = jnp.stack(
+            [jnp.where(swap, bk, ak), jnp.where(swap, ak, bk)], axis=2
+        ).reshape(k, n)
+        payload = jnp.stack(
+            [jnp.where(swap, bp, ap), jnp.where(swap, ap, bp)], axis=2
+        ).reshape(k, n)
+        s //= 2
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_query = payload >= qbit
+    table_pos = jnp.where(is_query, -1, pos[None, :])
+    latest = jax.lax.cummax(table_pos, axis=1)
+    safe = jnp.maximum(latest, 0)
+    cand_key = jnp.take_along_axis(keys, safe, axis=1)
+    cand_row = jnp.take_along_axis(payload, safe, axis=1)
+    match = (latest >= 0) & (cand_key == keys) & (
+        keys != _COMPACT_SENTINEL
+    )
+    result = jnp.where(match, cand_row.astype(jnp.int32),
+                       jnp.int32(table_capacity))
+    out = jnp.full((k, m), table_capacity, jnp.int32)
+    scatter_col = jnp.where(is_query, (payload - qbit).astype(jnp.int32),
+                            jnp.int32(m))
+    rows_idx = jnp.broadcast_to(jnp.arange(k)[:, None], (k, n))
+    return out.at[rows_idx, scatter_col].set(result, mode="drop")
+
+
 def lookup_merge_compact(table_keys, query_keys, table_capacity: int):
     """Sort-merge join on single packed uint32 keys.
 
@@ -161,25 +266,28 @@ def lookup_merge_compact(table_keys, query_keys, table_capacity: int):
     tk = pack_key_compact(table_keys)
     qk = pack_key_compact(query_keys)
     keys = jnp.concatenate([tk, qk])
-    flag = jnp.concatenate(
-        [jnp.zeros((n,), jnp.int32), jnp.ones((m,), jnp.int32)]
+    # One payload word: (row << 1) | is_query. The stable sort keeps
+    # table rows (concatenated first) ahead of equal-key queries, so the
+    # query flag need not be a sort key — one comparator word total.
+    payload = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int32) << 1,
+        (jnp.arange(m, dtype=jnp.int32) << 1) | 1,
+    ])
+    s_k, s_payload = jax.lax.sort(
+        (keys, payload), num_keys=1, is_stable=True
     )
-    payload = jnp.concatenate(
-        [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
-    )
-    s_k, s_flag, s_payload = jax.lax.sort(
-        (keys, flag, payload), num_keys=2, is_stable=True
-    )
+    is_query = (s_payload & 1) == 1
+    s_row = s_payload >> 1
     pos = jnp.arange(n + m, dtype=jnp.int32)
-    table_pos = jnp.where(s_flag == 0, pos, -1)
+    table_pos = jnp.where(is_query, -1, pos)
     latest = jax.lax.cummax(table_pos)
     safe = jnp.maximum(latest, 0)
     match = (latest >= 0) & (s_k[safe] == s_k) & (
         s_k != _COMPACT_SENTINEL
     )
-    result = jnp.where(match, s_payload[safe], jnp.int32(table_capacity))
+    result = jnp.where(match, s_row[safe], jnp.int32(table_capacity))
     out = jnp.full((m,), table_capacity, dtype=jnp.int32)
-    q_idx = jnp.where(s_flag == 1, s_payload, jnp.int32(m))
+    q_idx = jnp.where(is_query, s_row, jnp.int32(m))
     return out.at[q_idx].set(result, mode="drop")
 
 
@@ -217,26 +325,27 @@ def lookup_sorted(table_keys, query_keys, table_capacity: int):
     qhi, qlo = pack_keys(query_keys)
     hi = jnp.concatenate([thi, qhi])
     lo = jnp.concatenate([tlo, qlo])
-    # Tiebreaker: table rows (0) sort before query rows (1) within a key group.
-    flag = jnp.concatenate(
-        [jnp.zeros((n,), jnp.int32), jnp.ones((m,), jnp.int32)]
+    # One payload word: (row << 1) | is_query. The stable sort keeps
+    # table rows (concatenated first) ahead of equal-key query rows, so
+    # no flag key is needed — two comparator words instead of three.
+    payload = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int32) << 1,
+        (jnp.arange(m, dtype=jnp.int32) << 1) | 1,
+    ])
+    s_hi, s_lo, s_payload = jax.lax.sort(
+        (hi, lo, payload), num_keys=2, is_stable=True
     )
-    # Payload: table row index for table entries, query index for queries.
-    payload = jnp.concatenate(
-        [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
-    )
-    s_hi, s_lo, s_flag, s_payload = jax.lax.sort(
-        (hi, lo, flag, payload), num_keys=3, is_stable=True
-    )
+    is_query = (s_payload & 1) == 1
+    s_row = s_payload >> 1
 
     # Latest table-row *position* so far (positions are monotone, so cummax
     # returns the nearest preceding table row).
     pos = jnp.arange(n + m, dtype=jnp.int32)
-    table_pos = jnp.where(s_flag == 0, pos, -1)
+    table_pos = jnp.where(is_query, -1, pos)
     latest_table_pos = jax.lax.cummax(table_pos)
 
     safe_pos = jnp.maximum(latest_table_pos, 0)
-    cand_row = s_payload[safe_pos]  # table row index of candidate
+    cand_row = s_row[safe_pos]  # table row index of candidate
     match = latest_table_pos >= 0
     match &= s_hi[safe_pos] == s_hi
     match &= s_lo[safe_pos] == s_lo
@@ -246,8 +355,7 @@ def lookup_sorted(table_keys, query_keys, table_capacity: int):
 
     # Scatter back to query order; non-query rows target index m → dropped.
     out = jnp.full((m,), table_capacity, dtype=jnp.int32)
-    is_query = s_flag == 1
-    q_idx = jnp.where(is_query, s_payload, jnp.int32(m))
+    q_idx = jnp.where(is_query, s_row, jnp.int32(m))
     out = out.at[q_idx].set(result_sorted, mode="drop")
     return out
 
@@ -292,12 +400,12 @@ def unique_compact(keys, capacity: int, compact: bool = False):
     # stable sort already puts the smallest original order first in each run.
     keep = head & ~is_sentinel
 
-    # Compact kept rows to the front, preserving key-sorted order.
-    # Single packed key: kept rows (bit 31 clear) before dropped ones.
+    # Compact kept rows to the front, preserving key-sorted order. The
+    # kept bit rides in the sort key itself (bit 30), so the sort moves
+    # just two operands.
     pos = jnp.arange(n, dtype=jnp.int32)
     front_key = jnp.where(keep, pos, pos + jnp.int32(2**30))
-    _, perm, kept_sorted = jax.lax.sort(
-        (front_key, s_order, keep.astype(jnp.int32)),
-        num_keys=1, is_stable=True,
+    s_front, perm = jax.lax.sort(
+        (front_key, s_order), num_keys=1, is_stable=True
     )
-    return perm, kept_sorted.astype(bool)
+    return perm, s_front < jnp.int32(2**30)

@@ -13,7 +13,31 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from corsair_tpu.core.sparse import SENTINEL, SparseGrid, unique_compact
+from corsair_tpu.core.sparse import (
+    COMPACT_SAFE_COORD,
+    SENTINEL,
+    SparseGrid,
+    unique_compact,
+)
+
+
+def assert_compact_range(coords_list) -> None:
+    """Fail loudly when voxel coordinates leave the compact-key safe
+    interior ``[-COMPACT_SAFE_COORD, COMPACT_SAFE_COORD]`` that the
+    fast-merge coordinate manager requires (a unit-normalized cloud at
+    voxel 0.03 spans ~±80, so this only fires on mis-scaled inputs —
+    which previously would have been *silently dropped* as padding by the
+    compact key packing)."""
+    for c in coords_list:
+        if len(c) == 0:
+            continue
+        lo, hi = int(np.min(c)), int(np.max(c))
+        if lo < -COMPACT_SAFE_COORD or hi > COMPACT_SAFE_COORD:
+            raise ValueError(
+                f"voxel coords span [{lo}, {hi}] outside the compact-key "
+                f"safe range ±{COMPACT_SAFE_COORD}; check voxel_size / "
+                "input normalization"
+            )
 
 
 def voxelize_np(points: np.ndarray, voxel_size: float):
@@ -60,6 +84,7 @@ def sparse_collate_np(
         capacity = total
     if total > capacity:
         raise ValueError(f"batch has {total} voxels > capacity {capacity}")
+    assert_compact_range(coords_list)
     nch = feats_list[0].shape[1] if feats_list else 1
     coords = np.full((capacity, 3), SENTINEL, dtype=np.int32)
     batch = np.full((capacity,), len(coords_list), dtype=np.int32)

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from corsair_tpu.eval.cache import RegistrationResults
-from corsair_tpu.ops.pose_metrics import eval_pose
 from corsair_tpu.ops.symmetry import SymPoseConfig, sym_pose
 
 
@@ -156,17 +155,26 @@ def fill_pose_losses(
     T1s: np.ndarray,
     syms: Sequence[int],
 ) -> RegistrationResults:
-    """Compute RRE/RTE for both transforms (``evaluation.py:315-318``)."""
+    """Compute RRE/RTE for both transforms (``evaluation.py:315-318``).
+
+    One jitted batch over all queries x both transforms (the reference
+    calls scalar eval_pose twice per query; at 993 queries that host loop
+    costs minutes)."""
+    from corsair_tpu.ops.pose_metrics import eval_pose_batch
+
+    syms = jnp.asarray(np.asarray(syms, np.int32))
+    T0 = jnp.asarray(T0s)
+    T1 = jnp.asarray(T1s)
+    both = jnp.concatenate([
+        jnp.asarray(results.Ts_est_ransac), jnp.asarray(results.Ts_est_best)
+    ])
+    t_all, r_all = jax.jit(eval_pose_batch)(
+        both, jnp.concatenate([T0, T0]), jnp.concatenate([T1, T1]),
+        jnp.concatenate([syms, syms]),
+    )
     n = len(results.Ts_est_best)
-    for i in range(n):
-        t_r, r_r = eval_pose(
-            results.Ts_est_ransac[i], T0s[i], T1s[i], int(syms[i])
-        )
-        t_s, r_s = eval_pose(
-            results.Ts_est_best[i], T0s[i], T1s[i], int(syms[i])
-        )
-        results.t_losses_ransac[i] = t_r
-        results.r_losses_ransac[i] = r_r
-        results.t_losses_sym[i] = t_s
-        results.r_losses_sym[i] = r_s
+    results.t_losses_ransac[:] = np.asarray(t_all[:n])
+    results.r_losses_ransac[:] = np.asarray(r_all[:n])
+    results.t_losses_sym[:] = np.asarray(t_all[n:])
+    results.r_losses_sym[:] = np.asarray(r_all[n:])
     return results

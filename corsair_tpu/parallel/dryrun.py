@@ -38,6 +38,89 @@ def _cloud_grid(coords, valid):
     )
 
 
+def dryrun_inference(n_devices: int, cap: int = 128, seed: int = 0):
+    """The deployed pipeline on an n-device mesh: sharded feature
+    extraction -> retrieval descriptors -> ``register_pairs(mesh=...)``
+    -> RRE/RTE metrics, asserting parity with the single-device result
+    (reference scope: ``evaluation.py:207-332``).
+
+    Returns (max descriptor delta, max pose-loss delta) vs single-device.
+    """
+    import dataclasses
+
+    from corsair_tpu.eval.registration import (
+        fill_pose_losses, register_pairs,
+    )
+    from corsair_tpu.ops.ransac import RansacConfig
+    from corsair_tpu.ops.symmetry import SymPoseConfig
+    from corsair_tpu.parallel.mesh import batched_extract, make_mesh
+
+    mesh = make_mesh(n_data=n_devices, n_model=1)
+    B = n_devices
+    rng = np.random.RandomState(seed)
+
+    extractor = FeatureExtractor(ExtractorConfig())
+    params = extractor.init_params(jax.random.PRNGKey(seed))
+
+    def rand_cloud():
+        pts = rng.randn(cap, 3).astype(np.float32)
+        grid = np.floor(pts / 0.25).astype(np.int32)
+        _, first = np.unique(grid, axis=0, return_index=True)
+        keep = np.sort(first)[:cap]
+        coords = np.zeros((cap, 3), np.int32)
+        valid = np.zeros(cap, bool)
+        coords[: len(keep)] = grid[keep]
+        valid[: len(keep)] = True
+        return coords, valid, pts[keep]
+
+    data = [rand_cloud() for _ in range(B)]
+    coords = np.stack([d[0] for d in data])
+    valid = np.stack([d[1] for d in data])
+
+    # Phase A/B: sharded extraction vs single-device reference
+    feats_m, desc_m = batched_extract(
+        extractor, params, jnp.asarray(coords), jnp.asarray(valid), mesh
+    )
+    feats_1, desc_1, ovf = extractor.extract_padded(
+        params, jnp.asarray(coords), jnp.asarray(valid)
+    )
+    assert not np.asarray(ovf).any()
+    d_desc = float(np.max(np.abs(np.asarray(desc_m) - np.asarray(desc_1))))
+    assert d_desc < 1e-4, f"sharded extraction diverges: {d_desc}"
+
+    # Phase D: registration, data-parallel over the mesh vs single-device
+    q_feats = [np.asarray(feats_m[i])[valid[i]] for i in range(B)]
+    q_xyz = [data[i][2][: valid[i].sum()].astype(np.float32)
+             for i in range(B)]
+    cad_idx = [(i + 1) % B for i in range(B)]
+    syms = [1] * B
+    cfg = SymPoseConfig(
+        k_nn=2, max_corr=0.4, max_sample=8, rank_window=16,
+        kmeans_iters=4, kmeans_restarts=2,
+        ransac=RansacConfig(num_hypotheses=64, sample_size=4,
+                            score_chunk=64, prescore_subset=256,
+                            finalists_per_chunk=8, max_corr_dist=0.4),
+    )
+
+    def run(mesh_arg):
+        res = register_pairs(
+            jax.random.PRNGKey(7), q_feats, q_xyz, q_feats, q_xyz,
+            cad_idx, syms, cfg, batch_size=B, chunk=128, mesh=mesh_arg,
+        )
+        T0 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        return fill_pose_losses(res, T0, T0, syms)
+
+    res_m = run(mesh)
+    res_1 = run(None)
+    d_pose = max(
+        float(np.max(np.abs(res_m.r_losses_sym - res_1.r_losses_sym))),
+        float(np.max(np.abs(res_m.t_losses_sym - res_1.t_losses_sym))),
+    )
+    assert d_pose < 1e-4, f"sharded registration diverges: {d_pose}"
+    assert np.all(np.isfinite(res_m.r_losses_sym))
+    return d_desc, d_pose
+
+
 def dryrun_train_step(n_devices: int, batch_per_device: int = 1,
                       cap: int = 128, pair_cap: int = 64,
                       seed: int = 0) -> float:

@@ -122,14 +122,22 @@ class FeatureExtractor:
         return feats, desc
 
     @functools.partial(jax.jit, static_argnames=("self", "manager"))
+    def build_maps(self, grid: SparseGrid, manager=None):
+        """Jitted coordinate-map build, exposed separately so host-driven
+        pipelines can check ``maps.overflow`` before the forward."""
+        return (manager or self.manager).build(grid)
+
+    @functools.partial(jax.jit, static_argnames=("self", "manager"))
     def extract_padded(self, params, coords, valid, manager=None):
         """Per-cloud padded layout: ``coords`` int32 [B, cap, 3],
-        ``valid`` bool [B, cap] -> (feats [B, cap, C], desc [B, D]).
+        ``valid`` bool [B, cap] -> (feats [B, cap, C], desc [B, D],
+        overflow [B, num_levels] bool).
 
         Each cloud runs as an independent vmapped SparseGrid: coordinate
         sorts are per-cloud (cap log^2 cap instead of one giant batch
         sort) and downstream registration can consume the outputs without
-        leaving the device.
+        leaving the device. Any True in ``overflow`` means a level
+        capacity dropped voxels — callers must fail, not ignore.
         """
         from corsair_tpu.core.sparse import SENTINEL
 
@@ -146,20 +154,29 @@ class FeatureExtractor:
             )
             maps = manager.build(grid)
             feats, desc = self.extract_with_maps(params, grid, maps)
-            return feats, desc[0]
+            return feats, desc[0], maps.overflow
 
         return jax.vmap(one)(coords, valid)
 
     def pad_clouds(self, coords_list: List[np.ndarray],
                    cap: Optional[int] = None):
-        """[B, cap, 3] int32 + [B, cap] bool from a list of voxel grids."""
+        """[B, cap, 3] int32 + [B, cap] bool from a list of voxel grids.
+        Fails loudly on per-cloud capacity overflow or out-of-range
+        coordinates (both were silent truncations in round 1)."""
+        from corsair_tpu.core.voxelize import assert_compact_range
+
+        assert_compact_range(coords_list)
         if cap is None:
             cap = _round_up_bucket(max(len(c) for c in coords_list))
         b = len(coords_list)
         coords = np.zeros((b, cap, 3), np.int32)
         valid = np.zeros((b, cap), bool)
         for i, c in enumerate(coords_list):
-            n = min(len(c), cap)
+            if len(c) > cap:
+                raise ValueError(
+                    f"cloud {i} has {len(c)} voxels > capacity {cap}"
+                )
+            n = len(c)
             coords[i, :n] = c[:n]
             valid[i, :n] = True
         return coords, valid
@@ -199,13 +216,23 @@ class FeatureExtractor:
                 num_levels=self.manager.num_levels,
                 level_cap_ratios=self.config.level_cap_ratios,
             )
-            feats, desc = self.extract_with_maps(params, grid, maps)
-        elif self.config.auto_level_caps:
-            ratios = self._measure_ratios(coords_list, capacity)
-            manager = self._manager_for(ratios)
-            feats, desc = self.extract_with_manager(params, grid, manager)
         else:
-            feats, desc = self.extract(params, grid)
+            if self.config.auto_level_caps:
+                manager = self._manager_for(
+                    self._measure_ratios(coords_list, capacity)
+                )
+            else:
+                manager = self.manager
+            maps = self.build_maps(grid, manager)
+            overflow = np.asarray(maps.overflow)
+            if overflow.any():
+                lvls = np.nonzero(overflow)[0].tolist()
+                raise RuntimeError(
+                    f"coordinate-map capacity overflow at level(s) "
+                    f"{lvls}: voxels were dropped — raise "
+                    "level_cap_ratios (or disable auto_level_caps)"
+                )
+        feats, desc = self.extract_with_maps(params, grid, maps)
         feats = np.asarray(feats)
         desc = np.asarray(desc)
         # collate packs clouds contiguously in order: split by offsets

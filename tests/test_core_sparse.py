@@ -290,16 +290,33 @@ class TestCompactKeyBoundaries:
         )
 
     def test_out_of_range_degrades_to_isolated(self):
-        """Coords beyond +-256 map to the sentinel: such voxels must miss
-        every lookup rather than corrupt other rows."""
+        """Host collate now REJECTS out-of-range coords loudly (round 2);
+        on the device path (no host check possible) coords beyond +-256
+        still degrade safely: they map to the sentinel and miss every
+        lookup rather than corrupt other rows."""
+        import jax.numpy as jnp
+        import pytest
+
         from corsair_tpu.core.coordmap import CoordinateManager
+        from corsair_tpu.core.sparse import SparseGrid
         from corsair_tpu.core.voxelize import collate_to_grid
 
         coords = np.array([
             [0, 0, 0], [1, 0, 0], [300, 300, 300], [-400, 0, 0],
         ], np.int32)
-        grid = collate_to_grid(
-            [coords], [np.ones((4, 1), np.float32)], 8
+        with pytest.raises(ValueError, match="safe range"):
+            collate_to_grid([coords], [np.ones((4, 1), np.float32)], 8)
+
+        pad_c = np.full((8, 3), 2**30, np.int32)
+        pad_c[:4] = coords
+        grid = SparseGrid(
+            coords=jnp.asarray(pad_c),
+            batch=jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], np.int32),
+            feats=jnp.asarray(
+                np.pad(np.ones((4, 1), np.float32), ((0, 4), (0, 0)))
+            ),
+            valid=jnp.asarray([True] * 4 + [False] * 4),
+            stride=1, num_batches=1,
         )
         maps = CoordinateManager(
             num_levels=1, level_cap_ratios=(1.0,), compact_keys=True
