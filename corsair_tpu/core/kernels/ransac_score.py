@@ -45,6 +45,83 @@ def _kernel(max_d2, rt_ref, src_ref, dst_ref, valid_ref, count_ref,
     sse_ref[:, 0] = jnp.sum(jnp.where(inl, d2, 0.0), axis=1)
 
 
+def _kernel_multi(max_d2, rt_ref, src_ref, dst_ref, valid_ref,
+                  count_ref, sse_ref):
+    """Per-candidate variant: dst/valid blocks carry a leading singleton
+    candidate dim selected by the grid's first axis."""
+    rt = rt_ref[:]                       # [T, 12]
+    src = src_ref[:]                     # [M, 3]
+    dst = dst_ref[0]                     # [M, 3] (this candidate's)
+    valid = valid_ref[0, 0, :]           # [M]
+
+    sx, sy, sz = src[:, 0], src[:, 1], src[:, 2]
+    dx, dy, dz = dst[:, 0], dst[:, 1], dst[:, 2]
+    resx = (rt[:, 0:1] * sx[None, :] + rt[:, 1:2] * sy[None, :]
+            + rt[:, 2:3] * sz[None, :] + rt[:, 9:10]) - dx[None, :]
+    resy = (rt[:, 3:4] * sx[None, :] + rt[:, 4:5] * sy[None, :]
+            + rt[:, 5:6] * sz[None, :] + rt[:, 10:11]) - dy[None, :]
+    resz = (rt[:, 6:7] * sx[None, :] + rt[:, 7:8] * sy[None, :]
+            + rt[:, 8:9] * sz[None, :] + rt[:, 11:12]) - dz[None, :]
+    d2 = resx * resx + resy * resy + resz * resz
+    inl = (d2 <= max_d2) & (valid[None, :] > 0.5)
+    count_ref[:, 0] = jnp.sum(inl.astype(jnp.float32), axis=1)
+    sse_ref[:, 0] = jnp.sum(jnp.where(inl, d2, 0.0), axis=1)
+
+
+@partial(jax.jit, static_argnames=("max_corr_dist", "tile", "interpret"))
+def ransac_score_multi_pallas(Ts, src, dsts, valids, max_corr_dist,
+                              tile: int = 64, interpret: bool = False):
+    """Score C candidate RANSACs' hypotheses in ONE kernel stream.
+
+    ``Ts`` [C, H, 4, 4] poses; ``src`` [M, 3] shared source side; ``dsts``
+    [C, M, 3] per-candidate targets; ``valids`` [C, M]. Returns
+    (counts [C, H], sse [C, H]). The candidate axis is folded into the
+    grid so all C*H hypotheses share one scoring stream (VERDICT r1 #4 —
+    replaces the serial ``lax.map`` over ``sym_pose``'s 9 candidates).
+    """
+    c, h = Ts.shape[:2]
+    m = src.shape[0]
+    rt = jnp.concatenate(
+        [Ts[..., :3, :3].reshape(c, h, 9), Ts[..., :3, 3]], axis=-1
+    ).astype(jnp.float32)                # [C, H, 12]
+    pad = (-h) % tile
+    rt = jnp.pad(rt, ((0, 0), (0, pad), (0, 0))).reshape(-1, 12)
+    # [C, 1, M] so the block's last two dims equal the array's (Mosaic
+    # requires last-two block dims divisible by (8, 128) or full).
+    vf = valids.astype(jnp.float32)[:, None, :]
+    max_d2 = float(max_corr_dist) ** 2
+
+    n_tiles = (h + pad) // tile
+    counts, sse = pl.pallas_call(
+        partial(_kernel_multi, max_d2),
+        grid=(c, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile, 12), lambda ci, ti: (ci * n_tiles + ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 3), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda ci, ti: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda ci, ti: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 1), lambda ci, ti: (ci * n_tiles + ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda ci, ti: (ci * n_tiles + ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c * (h + pad), 1), jnp.float32),
+            jax.ShapeDtypeStruct((c * (h + pad), 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(rt, src.astype(jnp.float32), dsts.astype(jnp.float32), vf)
+    counts = counts.reshape(c, h + pad)[:, :h]
+    sse = sse.reshape(c, h + pad)[:, :h]
+    return counts, sse
+
+
 @partial(jax.jit, static_argnames=("max_corr_dist", "tile", "interpret"))
 def ransac_score_pallas(Ts, src, dst, valid, max_corr_dist,
                         tile: int = 64, interpret: bool = False):

@@ -29,12 +29,18 @@ def sparse_conv(params, feats, table, compute_dtype=None):
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    k, cin, cout = kernel.shape
     x_pad = jnp.concatenate(
         [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0
     )
-    gathered = x_pad[table]  # [K, N_out, Cin]
-    out = jnp.einsum(
-        "knc,kcd->nd", gathered, kernel,
+    # Fold the offset axis into the contraction: one [N, K*Cin] @
+    # [K*Cin, Cout] matmul instead of K matmuls with a C-sized (32-64)
+    # contraction — the MXU wants contractions >= 128 (864 for k=3^3,
+    # C=32). The gather emits [N, K, Cin] directly so the reshape is
+    # free.
+    gathered = x_pad[table.T]  # [N_out, K, Cin]
+    out = jnp.dot(
+        gathered.reshape(-1, k * cin), kernel.reshape(k * cin, cout),
         preferred_element_type=jnp.float32,
     )
     if "bias" in params:

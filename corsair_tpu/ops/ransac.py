@@ -151,3 +151,98 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
     c_fin, sse_fin = _score_all(T_final, src, dst, valid, max_d2)
     rmse_fin = jnp.sqrt(sse_fin / jnp.maximum(c_fin, 1))
     return T_final, c_fin, rmse_fin
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ransac_correspondences_multi(key, src, dsts, valids,
+                                 config: RansacConfig):
+    """C candidate RANSACs sharing one hypothesis/scoring stream.
+
+    ``src``: [M, 3] source side shared by every candidate (``sym_pose``'s
+    repeated-source correspondence layout, ``utils/eval_pose.py:74-79``);
+    ``dsts``: [C, M, 3] per-candidate targets; ``valids``: [C, M].
+    Returns (Ts [C, 4, 4], counts [C], rmses [C]).
+
+    Semantically C independent ``ransac_correspondences`` runs, but the
+    candidate axis is folded into the hypothesis stream: one sampling
+    draw, one batched Kabsch over C*H hypotheses, one Pallas scoring
+    kernel over a (C, H/tile) grid, per-candidate finalists/refit. This
+    keeps the chip saturated where ``lax.map`` serialized 9 dispatches
+    (VERDICT r1 item 4).
+    """
+    c, m = valids.shape
+    h = config.num_hypotheses
+    s = config.sample_size
+    max_d2 = jnp.float32(config.max_corr_dist**2)
+
+    raw = jax.random.randint(key, (c, h, s), 0, 2**31 - 1)
+    samp = raw % m                                    # [C, H, s]
+
+    src_h = src[samp]                                 # [C, H, s, 3]
+    dst_h = jax.vmap(lambda d, sm: d[sm])(dsts, samp)
+    w_h = jax.vmap(lambda v, sm: v[sm])(valids, samp).astype(jnp.float32)
+    Ts = jax.vmap(kabsch_quaternion)(
+        src_h.reshape(c * h, s, 3), dst_h.reshape(c * h, s, 3),
+        w_h.reshape(c * h, s),
+    ).reshape(c, h, 4, 4)
+
+    # Stage 1: strided-subsample scoring, all candidates in one stream.
+    msub = min(config.prescore_subset, m)
+    sub_idx = (jnp.arange(msub) * m) // msub
+    src_sub = src[sub_idx]
+    dst_subs = dsts[:, sub_idx]
+    valid_subs = valids[:, sub_idx]
+
+    try:
+        use_pallas = jax.default_backend() != "cpu"
+    except RuntimeError:
+        use_pallas = False
+    if use_pallas:
+        from corsair_tpu.core.kernels.ransac_score import (
+            ransac_score_multi_pallas,
+        )
+
+        counts, sses = ransac_score_multi_pallas(
+            Ts, src_sub, dst_subs, valid_subs, config.max_corr_dist
+        )
+    else:
+        counts, sses = jax.vmap(
+            lambda Tc, d, v: jax.vmap(
+                lambda T: _score_all(T, src_sub, d, v, max_d2)
+            )(Tc)
+        )(Ts, dst_subs, valid_subs)
+    score = _pack_score(counts, sses)                 # [C, H]
+
+    # Per-candidate finalists, exact rescore on the full set.
+    n_final = min(config.finalists_per_chunk, h)
+    fin_idx, _ = small_topk_min(-score, n_final)      # [C, F]
+    Ts_fin = jnp.take_along_axis(
+        Ts, fin_idx[:, :, None, None], axis=1
+    )                                                 # [C, F, 4, 4]
+    counts2, sses2 = jax.vmap(
+        lambda Tc, d, v: jax.vmap(
+            lambda T: _score_all(T, src, d, v, max_d2)
+        )(Tc)
+    )(Ts_fin, dsts, valids)
+    best = jnp.argmax(_pack_score(counts2, sses2), axis=1)  # [C]
+    T_best = jnp.take_along_axis(
+        Ts_fin, best[:, None, None, None], axis=1
+    )[:, 0]                                           # [C, 4, 4]
+
+    # Per-candidate inlier refit (same rule as the single path).
+    def refine_c(T, dst, valid):
+        def refine(Tc, _):
+            moved = src @ Tc[:3, :3].T + Tc[:3, 3]
+            d2 = jnp.sum((moved - dst) ** 2, axis=1)
+            w = ((d2 <= max_d2) & valid).astype(jnp.float32)
+            T_new = kabsch_umeyama(src, dst, w)
+            c_old, _ = _score_all(Tc, src, dst, valid, max_d2)
+            c_new, _ = _score_all(T_new, src, dst, valid, max_d2)
+            return jnp.where(c_new >= c_old, T_new, Tc), None
+
+        T_fin, _ = jax.lax.scan(refine, T, None,
+                                length=config.refine_iters)
+        cnt, sse = _score_all(T_fin, src, dst, valid, max_d2)
+        return T_fin, cnt, jnp.sqrt(sse / jnp.maximum(cnt, 1))
+
+    return jax.vmap(refine_c)(T_best, dsts, valids)

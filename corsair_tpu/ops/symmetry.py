@@ -29,7 +29,11 @@ import numpy as np
 from corsair_tpu.ops.chamfer import _min_nn_dists
 from corsair_tpu.ops.correspond import find_kcorr, find_kcorr_per_sector
 from corsair_tpu.ops.kmeans import kmeans_lloyd, kmeans_predict
-from corsair_tpu.ops.ransac import RansacConfig, ransac_correspondences
+from corsair_tpu.ops.ransac import (
+    RansacConfig,
+    ransac_correspondences,
+    ransac_correspondences_multi,
+)
 
 _BIG = jnp.float32(1e30)
 
@@ -46,12 +50,12 @@ class SymPoseConfig:
     kmeans_iters: int = 25
     kmeans_restarts: int = 10
     ransac: RansacConfig = RansacConfig(num_hypotheses=4096, sample_size=10)
-    # Run the S+1 candidate RANSACs concurrently (vmap) instead of
-    # sequentially. Measured slower at batch 8 on one chip (the query
-    # batch already saturates the chip; vmapping candidates just shrinks
-    # the score chunks) — useful only for tiny query batches.
-    parallel_candidates: bool = False
-    parallel_score_chunk: int = 256
+    # Fold the S+1 candidate RANSACs into one hypothesis/scoring stream
+    # (ransac_correspondences_multi): one sampling draw, one batched
+    # Kabsch, one Pallas scoring grid over (candidates, hypothesis
+    # tiles). False falls back to a serial lax.map (one dispatch chain
+    # per candidate) — kept for A/B measurement.
+    fold_candidates: bool = True
 
     @property
     def num_shifts(self) -> int:
@@ -217,14 +221,10 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
     dsts = jnp.concatenate([dst_all[None], dsts_s], axis=0)
     vs = jnp.concatenate([cvalid[None], vs_s], axis=0)
 
-    if config.parallel_candidates:
-        rcfg_p = dataclasses.replace(
-            rcfg, score_chunk=config.parallel_score_chunk
+    if config.fold_candidates:
+        Ts, _, _ = ransac_correspondences_multi(
+            k_r, src_shared, dsts, vs, rcfg
         )
-        Ts, _, _ = jax.vmap(
-            lambda kk, d, v: ransac_correspondences(kk, src_shared, d, v,
-                                                    rcfg_p)
-        )(r_keys, dsts, vs)
     else:
         def one_candidate(args):
             kk, d, v = args

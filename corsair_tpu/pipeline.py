@@ -41,6 +41,11 @@ class ExtractorConfig:
     # sorts in the coordinate manager AND fewer wasted rows in every
     # coarse-level conv. Ratios are cached so recompiles stay bounded.
     auto_level_caps: bool = True
+    # "bfloat16" halves conv gather/matmul bandwidth (accumulation stays
+    # f32, preferred_element_type). None = full f32. Descriptor deltas
+    # vs f32 are ~1e-2 relative on random weights; validate retrieval
+    # metrics before enabling for a parity run.
+    compute_dtype: Optional[str] = None
 
 
 class FeatureExtractor:
@@ -55,6 +60,8 @@ class FeatureExtractor:
             bn_momentum=config.bn_momentum,
             conv1_kernel_size=config.conv1_kernel_size,
             normalize_feature=config.normalize_feature,
+            compute_dtype=(None if config.compute_dtype is None
+                           else jnp.dtype(config.compute_dtype)),
         )
         self.manager = CoordinateManager(
             num_levels=4, level_cap_ratios=config.level_cap_ratios

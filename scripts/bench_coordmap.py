@@ -110,6 +110,24 @@ def main():
     print(f"merge-join level0 (27 offsets x {B} clouds): "
           f"{t_m*1000:7.1f} ms", flush=True)
 
+    from corsair_tpu.core.kernels.merge_join import merge_join_pallas
+
+    @jax.jit
+    def join_merge_pallas(kb0, kb1, kb2, kb3):
+        def one(b, x, y, z):
+            sk, srows = sort_table_compact((b, x, y, z))
+            qk = shifted_query_keys(sk, deltas)
+            return merge_join_pallas(sk, srows, qk, cap)
+
+        return jax.vmap(one)(kb0, kb1, kb2, kb3)
+
+    t_p = timeit(join_merge_pallas, *kb)
+    print(f"pallas merge-join level0 (27 x {B}):          "
+          f"{t_p*1000:7.1f} ms", flush=True)
+    same = np.array_equal(np.asarray(join_merge_pallas(*kb)),
+                          np.asarray(join_merge(*kb)))
+    print(f"    pallas == jnp merge: {same}", flush=True)
+
     # old-path equivalent: lookup_merge_compact with 27N queries
     from corsair_tpu.core.coordmap import _keys, _offset_queries
 

@@ -80,14 +80,12 @@ def main():
         ransac=RansacConfig(num_hypotheses=4096, sample_size=10,
                             max_corr_dist=0.2),
     )
-    ref, t_serial = run(base, "serial candidates (lax.map), chunk 4096")
-    for chunk in (4096, 2048, 1024):
-        cfg = dataclasses.replace(base, parallel_candidates=True,
-                                  parallel_score_chunk=chunk)
-        out, t = run(cfg, f"vmapped candidates, score_chunk {chunk}")
-        # same winners? poses can differ only via refit branch ties
-        d = np.abs(np.asarray(out[1]) - np.asarray(ref[1]))
-        print(f"    max |cd_best - ref| = {d.max():.2e}")
+    serial = dataclasses.replace(base, fold_candidates=False)
+    ref, t_serial = run(serial, "serial candidates (lax.map), chunk 4096")
+    out, t = run(base, "folded candidates (one scoring stream)")
+    # winners may differ only through the sampling-key restructure
+    d = np.abs(np.asarray(out[1]) - np.asarray(ref[1]))
+    print(f"    max |cd_best - ref| = {d.max():.2e}")
 
 
 if __name__ == "__main__":

@@ -161,3 +161,60 @@ def test_out_of_range_coords_fail_loudly():
     extractor = FeatureExtractor(ExtractorConfig())
     with pytest.raises(ValueError, match="safe range"):
         extractor.pad_clouds([bad])
+
+
+def test_pallas_merge_join_matches_jnp(rng):
+    """merge_join_pallas (interpret) is bit-identical to the jnp path
+    across table sizes, dilations and sparse/dense occupancies."""
+    from corsair_tpu.core.coordmap import kernel_offsets
+    from corsair_tpu.core.kernels.merge_join import merge_join_pallas
+    from corsair_tpu.core.sparse import SENTINEL
+
+    offs = kernel_offsets(3)
+    for cap, n_valid, dil in [(512, 400, 1), (1024, 1024, 2), (256, 7, 4)]:
+        coords = np.unique(
+            rng.randint(-50, 50, size=(n_valid, 3)).astype(np.int32),
+            axis=0,
+        )
+        nv = len(coords)
+        c = np.full((cap, 3), SENTINEL, np.int32)
+        c[:nv] = coords
+        v = np.zeros(cap, bool)
+        v[:nv] = True
+        b = np.where(v, 0, SENTINEL).astype(np.int32)
+        keys = (jnp.asarray(b), jnp.asarray(np.where(v, c[:, 0], SENTINEL)),
+                jnp.asarray(np.where(v, c[:, 1], SENTINEL)),
+                jnp.asarray(np.where(v, c[:, 2], SENTINEL)))
+        sk, srows = sort_table_compact(keys)
+        qk = shifted_query_keys(sk, pack_offset_deltas(offs, dil))
+        ref = bitonic_merge_join(sk, srows, qk, cap)
+        out = merge_join_pallas(sk, srows, qk, cap, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_adjoint_up_table_matches_join(rng):
+    """The scatter-derived transpose-conv table equals the direct join
+    on both manager paths (generic already uses it; compare against an
+    explicitly joined up table)."""
+    from corsair_tpu.core.coordmap import (
+        adjoint_up_table,
+        kernel_offsets,
+        neighbor_table,
+    )
+
+    grid = _random_grid(rng, n_clouds=2, n_per=400, cap=1024)
+    mgr = CoordinateManager(level_cap_ratios=(1.0, 1.0, 1.0, 1.0))
+    maps = mgr.build(grid)
+    offs = kernel_offsets(3)
+    for lvl in range(1, 4):
+        fine = maps.levels[lvl - 1]
+        coarse = maps.levels[lvl]
+        direct = neighbor_table(
+            coarse.coords, coarse.batch, coarse.valid,
+            fine.coords, fine.batch, fine.valid,
+            -offs, fine.stride,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(coarse.up_table), np.asarray(direct),
+            err_msg=f"level {lvl}",
+        )

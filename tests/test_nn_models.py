@@ -283,3 +283,28 @@ class TestPipeline:
         np.testing.assert_allclose(
             np.linalg.norm(desc, axis=1), 1.0, atol=1e-4
         )
+
+
+class TestBf16Inference:
+    def test_bf16_descriptors_close_to_f32(self, rng):
+        """compute_dtype='bfloat16' (half conv bandwidth, f32 accum)
+        changes L2-normalized descriptors by <1e-2."""
+        import jax
+
+        from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+
+        def cloud(n=1500):
+            pts = rng.randn(n, 3).astype(np.float32) * 0.5
+            g = np.floor(pts / 0.03).astype(np.int32)
+            _, first = np.unique(g, axis=0, return_index=True)
+            return g[np.sort(first)]
+
+        clouds = [cloud() for _ in range(2)]
+        ex32 = FeatureExtractor(ExtractorConfig())
+        params = ex32.init_params(jax.random.PRNGKey(0))
+        ex16 = FeatureExtractor(ExtractorConfig(compute_dtype="bfloat16"))
+        _, d32 = ex32.extract_batch_np(params, clouds)
+        f16, d16 = ex16.extract_batch_np(params, clouds)
+        assert d16.dtype == np.float32  # accumulation/output stay f32
+        assert f16[0].dtype == np.float32
+        assert np.abs(d16 - d32).max() < 1e-2

@@ -102,3 +102,70 @@ class TestRansacScoreKernel:
             np.testing.assert_allclose(sse[i], d2[inl].sum(), rtol=1e-4)
         # hypothesis 0 is the true pose: must dominate
         assert counts[0] == 450
+
+
+class TestRansacScoreMulti:
+    def test_matches_scalar_scorer(self, rng):
+        """Folded multi-candidate scoring == per-pose reference scorer."""
+        from corsair_tpu.core.kernels.ransac_score import (
+            ransac_score_multi_pallas,
+        )
+        from corsair_tpu.ops.ransac import _score_all
+
+        C, H, M = 4, 16, 700
+        src = jnp.asarray(rng.randn(M, 3).astype(np.float32))
+        dsts = jnp.asarray(rng.randn(C, M, 3).astype(np.float32))
+        valids = jnp.asarray(rng.rand(C, M) > 0.3)
+        keys = jax.random.split(jax.random.PRNGKey(0), C * H)
+        Rm = jax.vmap(lambda k: jax.random.orthogonal(k, 3))(keys)
+        Ts = jnp.tile(jnp.eye(4)[None], (C * H, 1, 1))
+        Ts = Ts.at[:, :3, :3].set(Rm).reshape(C, H, 4, 4)
+        cm, sm = ransac_score_multi_pallas(
+            Ts, src, dsts, valids, 0.4, interpret=True
+        )
+        rc, rs = jax.vmap(
+            lambda Tc, d, v: jax.vmap(
+                lambda T: _score_all(T, src, d, v, jnp.float32(0.16))
+            )(Tc)
+        )(Ts, dsts, valids)
+        np.testing.assert_array_equal(np.asarray(cm), np.asarray(rc))
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(rs),
+                                   atol=1e-5)
+
+
+class TestRansacMulti:
+    def test_recovers_known_poses(self, rng):
+        """Each folded candidate recovers its own ground-truth rigid
+        transform despite 40% outliers + padding."""
+        from corsair_tpu.ops.ransac import (
+            RansacConfig,
+            ransac_correspondences_multi,
+        )
+        from corsair_tpu.ops.transforms import random_rotation
+
+        M, C = 600, 3
+        src = rng.randn(M, 3).astype(np.float32)
+        dsts, valids, Ts_true = [], [], []
+        for ci in range(C):
+            d, T = random_rotation(src, rng)
+            d = np.asarray(d, np.float32)
+            out = rng.rand(M) < 0.4
+            d[out] += rng.randn(int(out.sum()), 3) * 2
+            v = np.ones(M, bool)
+            v[-60:] = False
+            dsts.append(d)
+            valids.append(v)
+            Ts_true.append(T)
+        cfg = RansacConfig(num_hypotheses=512, sample_size=10,
+                           max_corr_dist=0.1)
+        Ts, counts, rmses = ransac_correspondences_multi(
+            jax.random.PRNGKey(3), jnp.asarray(src),
+            jnp.asarray(np.stack(dsts)), jnp.asarray(np.stack(valids)),
+            cfg,
+        )
+        for ci in range(C):
+            np.testing.assert_allclose(
+                np.asarray(Ts[ci]), Ts_true[ci], atol=2e-2,
+                err_msg=f"candidate {ci}",
+            )
+            assert float(counts[ci]) > 250

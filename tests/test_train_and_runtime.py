@@ -178,3 +178,51 @@ class TestHardDataset:
         batch = ds.collate_pair_fn([ds[0], ds[1]])
         assert batch["pos_T"].shape[0] == 2
         assert batch["neg_T"].shape[0] == 8
+
+    def test_collate_order_and_sampler_windows(self, rng, tmp_path):
+        """Anchor-major flattening + reference sampler windows
+        (datasets/HardCategoryDataset.py:96-115, 272-326): positives come
+        from the CD<0.15 head of rank_a, negatives from the CD>0.2 head
+        of rank_d excluding rank 0 (self), and the collate's batch ids
+        follow the flattened anchor-major order."""
+        import os
+
+        from corsair_tpu.data.hard_dataset import HardCategoryDataset
+
+        catid, split = "99999999", "train"
+        d = tmp_path / catid / split
+        os.makedirs(d)
+        n = 16
+        for i in range(n):
+            np.save(d / f"m{i:03d}.npy", rng.randn(400, 3))
+        # block-diagonal similarity: 0-7 mutually close, 8-15 far
+        table = np.full((n, n), 0.5)
+        table[:8, :8] = 0.05
+        table[8:, 8:] = 0.05
+        np.fill_diagonal(table, 0.0)
+        np.save(tmp_path / f"{catid}_{split}.npy", table)
+
+        ds = HardCategoryDataset(
+            str(tmp_path), split, catid, str(tmp_path),
+            pos_ratio=0.5, neg_ratio=0.9, voxel_size=0.1,
+        )
+        np.random.seed(0)
+        for anchor in (0, 9):
+            pos_idx = ds.generate_positive_inst(anchor)
+            neg_idx = ds.generate_negative_inst(anchor)
+            same_block = (anchor // 8 == pos_idx // 8)
+            assert same_block.all(), (anchor, pos_idx)
+            assert all(ds.table[anchor, j] > 0.2 for j in neg_idx)
+            assert anchor not in neg_idx  # +1 skips self (rank_d head)
+
+        batch = ds.collate_pair_fn([ds[2], ds[10]])
+        # anchor-major: first n_pos entries belong to anchor 0, etc.
+        assert batch["pos_idx"].shape == (2,)
+        assert batch["neg_idx"].shape == (8,)
+        assert (batch["neg_batch"][batch["neg_valid"]] ==
+                np.repeat(np.arange(8), np.bincount(
+                    batch["neg_batch"][batch["neg_valid"]],
+                    minlength=8))).all()
+        # per-anchor grouping: negatives 0-3 sampled for anchor 2
+        assert all(ds.table[2, j] > 0.2 for j in batch["neg_idx"][:4])
+        assert all(ds.table[10, j] > 0.2 for j in batch["neg_idx"][4:])
