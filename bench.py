@@ -44,10 +44,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 REFERENCE_BASELINE_PCLOUDS_PER_SEC = 1.0
 
-N_QUERIES = 128
-N_LIB = 652            # chair CAD library size (configs/03001627_*.npy)
-N_PTS = 15000          # raw points per cloud (Reader first-N budget)
-CAP = 16384            # voxel capacity (~12.4k occupied at voxel 0.03)
+# CORSAIR_BENCH_SMALL=1 reproduces the round-1 continuity workload
+# (16 queries x 16 CADs at ~7k voxels, cap 8192) for apples-to-apples
+# tracking of the per-change perf log in ARCHITECTURE.md.
+_SMALL = os.environ.get("CORSAIR_BENCH_SMALL", "") == "1"
+N_QUERIES = 16 if _SMALL else 128
+N_LIB = 16 if _SMALL else 652  # 652 = chair library (configs/03001627_*)
+N_PTS = 8000 if _SMALL else 15000   # raw points (Reader first-N budget)
+CAP = 8192 if _SMALL else 16384     # voxel capacity at voxel 0.03
 EXTRACT_BATCH = 16
 REG_BATCH = 8
 VOXEL = 0.03
@@ -55,10 +59,17 @@ VOXEL = 0.03
 
 def make_cloud(rng, n_pts=N_PTS, voxel=VOXEL):
     """Surface-like cloud: unit-sphere shell + radial noise, mimicking a
-    normalized scan's voxel occupancy (~12.4k voxels from 15k points)."""
-    pts = rng.randn(n_pts, 3).astype(np.float32)
-    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
-    pts *= 0.9 * (1.0 + rng.randn(n_pts, 1).astype(np.float32) * 0.03)
+    normalized scan's voxel occupancy (~12.4k voxels from 15k points).
+    Small mode keeps round 1's volumetric gaussian for continuity."""
+    if _SMALL:
+        pts = rng.randn(n_pts, 3).astype(np.float32) * 0.5
+    else:
+        pts = rng.randn(n_pts, 3).astype(np.float32)
+        pts /= np.maximum(
+            np.linalg.norm(pts, axis=1, keepdims=True), 1e-9
+        )
+        pts *= 0.9 * (1.0 + rng.randn(n_pts, 1).astype(np.float32)
+                      * 0.03)
     grid = np.floor(pts / voxel).astype(np.int32)
     _, first = np.unique(grid, axis=0, return_index=True)
     keep = np.sort(first)
@@ -76,7 +87,12 @@ def main():
 
     rng = np.random.RandomState(0)
 
-    extractor = FeatureExtractor(ExtractorConfig())
+    # CORSAIR_BENCH_BF16=1 measures the bfloat16 conv path (f32 accum,
+    # descriptor delta ~2e-4); default stays f32 until checkpoint parity
+    # is validated on real weights.
+    dtype = ("bfloat16"
+             if os.environ.get("CORSAIR_BENCH_BF16", "") == "1" else None)
+    extractor = FeatureExtractor(ExtractorConfig(compute_dtype=dtype))
     params = extractor.init_params(jax.random.PRNGKey(0))
 
     lib = [make_cloud(rng) for _ in range(N_LIB)]

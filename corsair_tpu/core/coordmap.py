@@ -362,8 +362,82 @@ class CoordinateManager:
             except RuntimeError:
                 fast_merge = False
         if use_compact and fast_merge:
+            # CORSAIR_EQ_JOIN=1 selects the sort-free brute-force
+            # equality-join builder (kernels/eq_join.py). Measured A/B
+            # on v5e (16 clouds x 8k voxels, 4 levels at equal caps):
+            # merge 360 ms vs eq 473 ms build, extraction 986 vs
+            # 1084 ms — the O(M*N) dense compare loses to sort+merge at
+            # level-0 scale because level capacities do not shrink, so
+            # the merge-join stays the default.
+            import os
+
+            if os.environ.get("CORSAIR_EQ_JOIN", "0") == "1":
+                return self._build_eq(grid)
             return self._build_merge(grid)
         return self._build_generic(grid, use_compact)
+
+    def _build_eq(self, grid: SparseGrid) -> UNetMaps:
+        """Equality-join builder: every table is a dense compare-reduce
+        against the (unsorted) level keys. Requires the compact-key
+        regime + guard band (same contract as the merge path)."""
+        from corsair_tpu.core.kernels.eq_join import equality_join_pallas
+        from corsair_tpu.core.sparse import (
+            pack_key_compact,
+            pack_offset_deltas,
+            shifted_query_keys,
+        )
+
+        caps = self._level_caps(grid.capacity)
+        offs = self.offsets
+
+        coords, batch, valid = grid.coords, grid.batch, grid.valid
+        stride = grid.stride
+        per_level = [dict(coords=coords, batch=batch, valid=valid,
+                          stride=stride,
+                          pk=pack_key_compact(_keys(coords, batch,
+                                                    valid)))]
+        overflows = [jnp.asarray(False)]
+        for lvl in range(1, self.num_levels):
+            coords, batch, valid, ovf = downsample_coords(
+                coords, batch, valid, stride, caps[lvl], compact=True,
+                with_overflow=True,
+            )
+            stride *= 2
+            per_level.append(dict(
+                coords=coords, batch=batch, valid=valid, stride=stride,
+                pk=pack_key_compact(_keys(coords, batch, valid)),
+            ))
+            overflows.append(ovf)
+
+        def join(table_lvl, query_lvl, offsets, dilation):
+            tbl = per_level[table_lvl]
+            qry = per_level[query_lvl]
+            qk = shifted_query_keys(
+                qry["pk"], pack_offset_deltas(offsets, dilation)
+            )
+            return equality_join_pallas(
+                tbl["pk"], qk, tbl["pk"].shape[0]
+            )
+
+        levels = []
+        for lvl, entry in enumerate(per_level):
+            t = entry["stride"]
+            self_table = join(lvl, lvl, offs, t)
+            if lvl > 0:
+                pt = per_level[lvl - 1]["stride"]
+                down_table = join(lvl - 1, lvl, offs, pt)
+                up_table = join(lvl, lvl - 1, -offs, pt)
+            else:
+                down_table = None
+                up_table = None
+            levels.append(LevelMaps(
+                coords=entry["coords"], batch=entry["batch"],
+                valid=entry["valid"],
+                self_table=self_table, down_table=down_table,
+                up_table=up_table, stride=t,
+            ))
+        return UNetMaps(levels=tuple(levels),
+                        overflow=jnp.stack(overflows))
 
     def _level_caps(self, cap0: int):
         return [

@@ -164,3 +164,96 @@ def ransac_score_pallas(Ts, src, dst, valid, max_corr_dist,
         interpret=interpret,
     )(rt, src.astype(jnp.float32), dst.astype(jnp.float32), vf)
     return counts[:h, 0], sse[:h, 0]
+
+
+def _kernel_matmul(max_d2, psi_ref, phi_ref, base_ref, count_ref,
+                   sse_ref):
+    """d2[h, m] = base[m] + psi[h] . phi[m] -> one MXU matmul per tile,
+    then threshold-count/SSE in VMEM."""
+    psi = psi_ref[:]                     # [T, 16]
+    phi = phi_ref[0]                     # [16, M]
+    base = base_ref[0, 0, :]             # [M] (|s|^2+|d|^2, BIG if invalid)
+    # HIGHEST: TPU f32 matmuls default to bf16 passes (~1e-3 absolute
+    # noise on d2 — 2.5% of the 0.04 inlier threshold); the full-f32
+    # passes keep stage-1 counts honest and the matmul is cheap.
+    d2 = base[None, :] + jnp.dot(
+        psi, phi, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                    # [T, M]
+    inl = d2 <= max_d2
+    count_ref[:, 0] = jnp.sum(inl.astype(jnp.float32), axis=1)
+    sse_ref[:, 0] = jnp.sum(jnp.where(inl, d2, 0.0), axis=1)
+
+
+@partial(jax.jit, static_argnames=("max_corr_dist", "tile", "interpret"))
+def ransac_score_matmul_pallas(Ts, src, dsts, valids, max_corr_dist,
+                               tile: int = 256, interpret: bool = False):
+    """Stage-1 RANSAC scoring as an MXU matmul.
+
+    For a rigid pose (R orthogonal), the residual decomposes exactly:
+    |R s + t - d|^2 = (|s|^2 + |d|^2) + psi(R, t) . phi(s, d) with
+    psi = [|t|^2, 2 R^T t, -2 t, -2 vec(R)] and
+    phi = [1, s, d, vec(d s^T)] in R^16 — so scoring C*H hypotheses
+    against M correspondences is a [C*H, 16] x [16, M] matmul instead of
+    VPU elementwise transforms (the measured stage-1 bottleneck).
+    Counts are exact (d2 agrees with the direct form to ~1e-6, far from
+    the 0.04 threshold scale); finalists are exactly rescored by the
+    caller anyway.
+
+    ``Ts`` [C, H, 4, 4], ``src`` [M, 3] shared, ``dsts`` [C, M, 3],
+    ``valids`` [C, M]. Returns (counts [C, H], sse [C, H]).
+    """
+    c, h = Ts.shape[:2]
+    m = src.shape[0]
+    R = Ts[..., :3, :3].astype(jnp.float32)          # [C, H, 3, 3]
+    t = Ts[..., :3, 3].astype(jnp.float32)           # [C, H, 3]
+    psi = jnp.concatenate([
+        jnp.sum(t * t, -1, keepdims=True),
+        2.0 * jnp.einsum("chij,chi->chj", R, t),
+        -2.0 * t,
+        -2.0 * R.reshape(c, h, 9),
+    ], axis=-1)                                      # [C, H, 16]
+
+    s = src.astype(jnp.float32)
+    d = dsts.astype(jnp.float32)
+    phi = jnp.concatenate([
+        jnp.ones((c, m, 1), jnp.float32),
+        jnp.broadcast_to(s[None], (c, m, 3)),
+        d,
+        jnp.einsum("cmi,mj->cmij", d, s).reshape(c, m, 9),
+    ], axis=-1)                                      # [C, M, 16]
+    phi_t = jnp.swapaxes(phi, 1, 2)                  # [C, 16, M]
+    base = (jnp.sum(s * s, -1)[None, :] + jnp.sum(d * d, -1))
+    base = jnp.where(valids, base, 1e30)[:, None, :]  # [C, 1, M]
+
+    pad = (-h) % tile
+    psi = jnp.pad(psi, ((0, 0), (0, pad), (0, 0))).reshape(-1, 16)
+    n_tiles = (h + pad) // tile
+    max_d2 = float(max_corr_dist) ** 2
+
+    counts, sse = pl.pallas_call(
+        partial(_kernel_matmul, max_d2),
+        grid=(c, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile, 16), lambda ci, ti: (ci * n_tiles + ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, m), lambda ci, ti: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda ci, ti: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 1), lambda ci, ti: (ci * n_tiles + ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda ci, ti: (ci * n_tiles + ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c * (h + pad), 1), jnp.float32),
+            jax.ShapeDtypeStruct((c * (h + pad), 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(psi, phi_t, base)
+    counts = counts.reshape(c, h + pad)[:, :h]
+    sse = sse.reshape(c, h + pad)[:, :h]
+    return counts, sse

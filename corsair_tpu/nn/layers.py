@@ -17,6 +17,21 @@ EPS_BN = 1e-5  # torch BatchNorm default
 EPS_IN = 1e-5
 
 
+def _conv_fold() -> bool:
+    """Conv formulation A/B switch (trace-time constant).
+
+    Folding the offset axis into one [N, K*Cin] @ [K*Cin, Cout] matmul
+    looks MXU-friendlier but measured 9% SLOWER end-to-end (1077 vs
+    987 ms / 16 clouds on v5e): the [N, K]-layout gather interleaves
+    offsets per output row, while the [K, N] gather streams one offset's
+    (mostly key-ordered) rows at a time. The per-offset einsum stays the
+    default; CORSAIR_CONV_FOLD=1 selects the folded form for
+    re-measurement on other topologies."""
+    import os
+
+    return os.environ.get("CORSAIR_CONV_FOLD", "0") == "1"
+
+
 def sparse_conv(params, feats, table, compute_dtype=None):
     """Table-based sparse conv: ``out[i] = sum_k W[k] @ x[table[k, i]]``.
 
@@ -33,16 +48,23 @@ def sparse_conv(params, feats, table, compute_dtype=None):
     x_pad = jnp.concatenate(
         [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0
     )
-    # Fold the offset axis into the contraction: one [N, K*Cin] @
-    # [K*Cin, Cout] matmul instead of K matmuls with a C-sized (32-64)
-    # contraction — the MXU wants contractions >= 128 (864 for k=3^3,
-    # C=32). The gather emits [N, K, Cin] directly so the reshape is
-    # free.
-    gathered = x_pad[table.T]  # [N_out, K, Cin]
-    out = jnp.dot(
-        gathered.reshape(-1, k * cin), kernel.reshape(k * cin, cout),
-        preferred_element_type=jnp.float32,
-    )
+    if _conv_fold():
+        # Fold the offset axis into the contraction: one [N, K*Cin] @
+        # [K*Cin, Cout] matmul instead of K matmuls with a C-sized
+        # (32-64) contraction (the MXU wants contractions >= 128; 864
+        # for k=3^3, C=32). The gather emits [N, K, Cin] directly so
+        # the reshape is free.
+        gathered = x_pad[table.T]  # [N_out, K, Cin]
+        out = jnp.dot(
+            gathered.reshape(-1, k * cin), kernel.reshape(k * cin, cout),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        gathered = x_pad[table]  # [K, N_out, Cin]
+        out = jnp.einsum(
+            "knc,kcd->nd", gathered, kernel,
+            preferred_element_type=jnp.float32,
+        )
     if "bias" in params:
         out = out + params["bias"]
     return out

@@ -43,11 +43,27 @@ def _min_nn_dists(pc0, pc1, v0, v1, chunk):
     q = jnp.pad(pc0, ((0, pad), (0, 0)))
 
     def body(qc):
-        d2 = pairwise_sqdist(qc, pc1, v1)
-        return jnp.min(d2, axis=1)
+        # direct per-axis differences: the matmul identity runs at bf16
+        # matmul precision on TPU (~1e-3 absolute d2 noise) and 3-wide
+        # contractions gain nothing from the MXU
+        d2 = jnp.zeros((qc.shape[0], pc1.shape[0]), jnp.float32)
+        for a in range(qc.shape[1]):
+            r = qc[:, a : a + 1] - pc1[None, :, a]
+            d2 = d2 + r * r
+        if v1 is not None:
+            d2 = jnp.where(v1[None, :], d2, _BIG)
+        return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1)
 
-    d2 = jax.lax.map(body, q.reshape(-1, chunk, pc0.shape[1])).reshape(-1)[:n]
-    d = jnp.sqrt(d2)
+    d2, idx = jax.lax.map(body, q.reshape(-1, chunk, pc0.shape[1]))
+    d2 = d2.reshape(-1)[:n]
+    idx = idx.reshape(-1)[:n]
+    # Exact refinement of the winner (matmul-identity d2 loses ~1e-3
+    # absolute near zero in f32).
+    exact = jnp.sqrt(jnp.sum(
+        (pc0.astype(jnp.float32) - pc1[idx].astype(jnp.float32)) ** 2,
+        axis=1,
+    ))
+    d = jnp.where(d2 < _BIG / 2, exact, jnp.sqrt(jnp.maximum(d2, 0.0)))
     if v0 is not None:
         d = jnp.where(v0, d, 0.0)
     return d

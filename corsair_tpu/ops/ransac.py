@@ -199,10 +199,10 @@ def ransac_correspondences_multi(key, src, dsts, valids,
         use_pallas = False
     if use_pallas:
         from corsair_tpu.core.kernels.ransac_score import (
-            ransac_score_multi_pallas,
+            ransac_score_matmul_pallas,
         )
 
-        counts, sses = ransac_score_multi_pallas(
+        counts, sses = ransac_score_matmul_pallas(
             Ts, src_sub, dst_subs, valid_subs, config.max_corr_dist
         )
     else:

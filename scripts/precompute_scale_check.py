@@ -74,8 +74,13 @@ def main():
         d_ba = KDTree(a).query(b)[0].mean()
         return d_ab + d_ba
 
+    # Reader center+unit-sphere-normalizes (load_norm_pc) — the host
+    # check must load identically.
+    from corsair_tpu.data.readers import load_norm_pc
+
     pcs = [
-        np.load(os.path.join(d, f"model{i:04d}.npy")) for i in range(8)
+        load_norm_pc(os.path.join(d, f"model{i:04d}.npy"), N_POINTS)
+        for i in range(8)
     ]
     max_err = 0.0
     for i in range(8):

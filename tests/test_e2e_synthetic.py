@@ -98,6 +98,7 @@ class TestEvaluationPhases:
         assert len(stat["top1_predict"]) == 3
         assert all(0 <= i < 6 for i in stat["top1_predict"])
 
+    @pytest.mark.slow
     def test_registration_and_cache(self, app):
         app.eval_retrieval()
         results = app.eval_registration()

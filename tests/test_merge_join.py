@@ -94,6 +94,27 @@ def test_fast_merge_build_matches_generic(rng, n_clouds, cap):
                                           np.asarray(ls.up_table))
 
 
+@pytest.mark.parametrize("n_clouds,cap", [(1, 1024), (3, 2048)])
+def test_eq_join_build_matches_generic(rng, n_clouds, cap):
+    """The opt-in sort-free equality-join builder (CORSAIR_EQ_JOIN=1)
+    is bit-identical to the generic sort-join path."""
+    grid = _random_grid(rng, n_clouds=n_clouds, cap=cap)
+    eq = CoordinateManager(fast_merge=True)._build_eq(grid)
+    slow = CoordinateManager(fast_merge=False).build(grid)
+    for lf, ls in zip(eq.levels, slow.levels):
+        np.testing.assert_array_equal(np.asarray(lf.coords),
+                                      np.asarray(ls.coords))
+        np.testing.assert_array_equal(np.asarray(lf.valid),
+                                      np.asarray(ls.valid))
+        np.testing.assert_array_equal(np.asarray(lf.self_table),
+                                      np.asarray(ls.self_table))
+        if lf.down_table is not None:
+            np.testing.assert_array_equal(np.asarray(lf.down_table),
+                                          np.asarray(ls.down_table))
+            np.testing.assert_array_equal(np.asarray(lf.up_table),
+                                          np.asarray(ls.up_table))
+
+
 def test_fast_merge_under_vmap(rng):
     """The per-cloud padded layout (bench/TPU hot path) vmaps the build."""
     B, cap = 4, 1024

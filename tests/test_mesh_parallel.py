@@ -77,6 +77,7 @@ class TestMesh:
             r0.Ts_est_best, r1.Ts_est_best, rtol=1e-4, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_dryrun_train_step(self):
         from corsair_tpu.parallel.dryrun import dryrun_train_step
 

@@ -169,3 +169,35 @@ class TestRansacMulti:
                 err_msg=f"candidate {ci}",
             )
             assert float(counts[ci]) > 250
+
+
+class TestRansacScoreMatmul:
+    def test_matches_scalar_scorer(self, rng):
+        """MXU-matmul decomposition (|Rs+t-d|^2 = base + psi.phi) matches
+        the direct scorer: counts exactly, SSE to f32 roundoff."""
+        from corsair_tpu.core.kernels.ransac_score import (
+            ransac_score_matmul_pallas,
+        )
+        from corsair_tpu.ops.ransac import _score_all
+
+        C, H, M = 3, 16, 600
+        src = jnp.asarray(rng.randn(M, 3).astype(np.float32))
+        dsts = jnp.asarray(rng.randn(C, M, 3).astype(np.float32))
+        valids = jnp.asarray(rng.rand(C, M) > 0.3)
+        keys = jax.random.split(jax.random.PRNGKey(0), C * H)
+        Rm = jax.vmap(lambda k: jax.random.orthogonal(k, 3))(keys)
+        tv = jax.random.normal(jax.random.PRNGKey(1), (C * H, 3))
+        Ts = jnp.tile(jnp.eye(4)[None], (C * H, 1, 1))
+        Ts = Ts.at[:, :3, :3].set(Rm).at[:, :3, 3].set(tv)
+        Ts = Ts.reshape(C, H, 4, 4)
+        cm, sm = ransac_score_matmul_pallas(
+            Ts, src, dsts, valids, 0.9, interpret=True
+        )
+        rc, rs = jax.vmap(
+            lambda Tc, d, v: jax.vmap(
+                lambda T: _score_all(T, src, d, v, jnp.float32(0.81))
+            )(Tc)
+        )(Ts, dsts, valids)
+        assert np.abs(np.asarray(cm) - np.asarray(rc)).max() <= 1
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(rs),
+                                   rtol=1e-4, atol=1e-4)

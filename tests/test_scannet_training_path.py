@@ -61,6 +61,7 @@ class TestTripletPath:
         assert batch["base_valid"].sum() > 0
         assert batch["pos_sym"].shape == (2,)
 
+    @pytest.mark.slow
     def test_train_step_on_real_batch(self, setup):
         import jax
 
