@@ -53,27 +53,40 @@ def _kernel(num_sectors, k, f0_ref, f1_ref, f1sq_ref, secmask_ref,
             ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
 
 
-def _min_kernel(x0_ref, x1_ref, x1sq_ref, v1_ref, out_ref):
-    """Min squared distance per query row, tile in VMEM.
+def _min_kernel(chunk, x0_ref, x1t_ref, v1_ref, out_ref):
+    """Min squared distance per query row, chunked running min in VMEM.
 
     d2 by DIRECT per-axis differences, not the matmul identity: TPU f32
     matmuls run as bf16 passes (~1e-3 absolute d2 noise), which inflated
     Chamfer NN distances by ~0.01; with only 3 coordinate axes the MXU
-    buys nothing here anyway. (x1sq kept in the signature for the
-    compiled-call layout; unused.)"""
-    x0 = x0_ref[:]
-    x1 = x1_ref[:]
-    n = x1.shape[0]
-    d2 = jnp.zeros((x0.shape[0], n), jnp.float32)
-    for a in range(x0.shape[1]):
-        r = x0[:, a : a + 1] - x1[:, a].reshape(1, n)
-        d2 = d2 + r * r
-    d2 = jnp.where(v1_ref[0, :].reshape(1, n) > 0.5, d2, _BIG)
-    out_ref[:, 0] = jnp.min(d2, axis=1)
+    buys nothing here anyway.
+
+    The target operand arrives TRANSPOSED [D, N]: a [N, 3] block
+    lane-pads every row to 128 lanes (8 MB at N=16k — half the scoped
+    VMEM budget) while [3, N] packs into ~N/32 KB. The N axis is
+    consumed in ``chunk``-wide slices with a running min so the live
+    distance tile is [T, chunk] regardless of N (cap=16384 blew the
+    16 MB scoped-vmem limit with a full [T, N] tile)."""
+    x0 = x0_ref[:]                       # [T, D]
+    t = x0.shape[0]
+    n = x1t_ref.shape[1]
+    acc = jnp.full((t,), _BIG, jnp.float32)
+    for c in range(0, n, chunk):
+        d2 = jnp.zeros((t, chunk), jnp.float32)
+        for a in range(x0.shape[1]):
+            r = x0[:, a : a + 1] - x1t_ref[a, c : c + chunk].reshape(
+                1, chunk
+            )
+            d2 = d2 + r * r
+        d2 = jnp.where(
+            v1_ref[0, c : c + chunk].reshape(1, chunk) > 0.5, d2, _BIG
+        )
+        acc = jnp.minimum(acc, jnp.min(d2, axis=1))
+    out_ref[:, 0] = acc
 
 
-@partial(jax.jit, static_argnames=("tile", "interpret"))
-def min_dist_pallas(X0, X1, v1=None, tile: int = 256,
+@partial(jax.jit, static_argnames=("tile", "chunk", "interpret"))
+def min_dist_pallas(X0, X1, v1=None, tile: int = 256, chunk: int = 2048,
                     interpret: bool = False):
     """Per-row nearest-neighbor distance (not index): the Chamfer inner
     loop, fused so the distance tile never leaves VMEM. Returns [N0]."""
@@ -81,29 +94,29 @@ def min_dist_pallas(X0, X1, v1=None, tile: int = 256,
     n1 = X1.shape[0]
     pad0 = (-n0) % tile
     x0 = jnp.pad(X0.astype(jnp.float32), ((0, pad0), (0, 0)))
-    x1 = X1.astype(jnp.float32)
-    x1sq = jnp.sum(x1 * x1, axis=1)[None, :]
-    v1f = (jnp.ones((1, n1), jnp.float32) if v1 is None
-           else v1[None, :].astype(jnp.float32))
+    chunk = min(chunk, n1)
+    pad1 = (-n1) % chunk
+    x1t = jnp.pad(X1.astype(jnp.float32), ((0, pad1), (0, 0))).T
+    v1f = (jnp.ones((n1,), jnp.float32) if v1 is None
+           else v1.astype(jnp.float32))
+    v1f = jnp.pad(v1f, (0, pad1))[None, :]  # padded tail masked out
     n_tiles = (n0 + pad0) // tile
     out = pl.pallas_call(
-        _min_kernel,
+        partial(_min_kernel, chunk),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, d), lambda i: (0, 0),
+            pl.BlockSpec((d, n1 + pad1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n1), lambda i: (0, 0),
+            pl.BlockSpec((1, n1 + pad1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n0 + pad0, 1), jnp.float32),
         interpret=interpret,
-    )(x0, x1, x1sq, v1f)
+    )(x0, x1t, v1f)
     return jnp.sqrt(jnp.maximum(out[:n0, 0], 0.0))
 
 

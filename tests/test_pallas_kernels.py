@@ -70,6 +70,24 @@ class TestMinDistKernel:
         ref, _ = KDTree(p1[:480]).query(p0, k=1)
         np.testing.assert_allclose(d, ref, rtol=1e-2, atol=1e-3)
 
+    def test_chunked_target_axis(self, rng):
+        """n1 > chunk exercises the running-min loop AND a non-zero
+        padded tail (the tail must be masked out, not matched). This is
+        the protocol-scale regime (cap=16384 > one-chunk VMEM budget)."""
+        from corsair_tpu.core.kernels.sector_knn import min_dist_pallas
+        from scipy.spatial import KDTree
+
+        p0 = rng.randn(100, 3).astype(np.float32)
+        p1 = rng.randn(1000, 3).astype(np.float32)
+        v1 = np.ones(1000, bool)
+        v1[900:] = False
+        d = np.asarray(min_dist_pallas(
+            jnp.asarray(p0), jnp.asarray(p1), v1=jnp.asarray(v1),
+            tile=128, chunk=384, interpret=True,
+        ))
+        ref, _ = KDTree(p1[:900]).query(p0, k=1)
+        np.testing.assert_allclose(d, ref, rtol=1e-5, atol=1e-6)
+
 
 class TestRansacScoreKernel:
     def test_matches_reference(self, rng):
