@@ -9,9 +9,10 @@ the distance tile on the MXU into VMEM and runs all K*k masked argmin
 extractions in VMEM, writing only the [tile, K, k] index/validity
 outputs.
 
-VMEM budget per grid step (tile=256, N<=8192, f32):
-tile=64 keeps the ~3 live [tile, N] temporaries (d2, masked copy,
-column iota) within the 16 MB VMEM limit at N=8192.
+VMEM budget per grid step: the target operands are stored transposed
+[D, N] (dense lane packing — see _kernel), so the budget is set by the
+~3 live [tile, N] temporaries (d2, masked copy, column iota); tile=64
+fits N=8192, tile=32 fits N=16384.
 """
 
 from __future__ import annotations
@@ -27,17 +28,26 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30  # plain float: pallas kernels must not capture traced constants
 
 
-def _kernel(num_sectors, k, f0_ref, f1_ref, f1sq_ref, secmask_ref,
+def _kernel(num_sectors, k, f0_ref, f1t_ref, f1sq_ref, secmask_ref,
             idx_ref, ok_ref):
-    """One query tile: d2 in VMEM -> K x k masked argmin extractions."""
+    """One query tile: d2 in VMEM -> K x k masked argmin extractions.
+
+    The target features arrive TRANSPOSED [D, N]: an [N, D] block
+    lane-pads D (16-32) to 128 lanes — 8 MB at N=16k, half the scoped
+    VMEM — while [D, N] packs densely (~D*N*4 bytes) and is already the
+    right operand orientation for the MXU. HIGHEST matmul precision:
+    TPU f32 dots default to bf16 passes and the ~1e-3 d2 noise can
+    reorder near-tied neighbors; these matmuls are tiny next to the
+    K x k argmin extractions."""
     f0 = f0_ref[:]                      # [T, D]
-    f1 = f1_ref[:]                      # [N, D]
-    n = f1.shape[0]
+    f1t = f1t_ref[:]                    # [D, N]
+    n = f1t.shape[1]
     t = f0.shape[0]
 
     f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)        # [T, 1]
     d2 = f0sq + f1sq_ref[0, :].reshape(1, n) - 2.0 * jnp.dot(
-        f0, f1.T, preferred_element_type=jnp.float32
+        f0, f1t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )                                                      # [T, N]
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
@@ -132,8 +142,8 @@ def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
     n1 = F1.shape[0]
     pad0 = (-n0) % tile
     f0 = jnp.pad(F0.astype(jnp.float32), ((0, pad0), (0, 0)))
-    f1 = F1.astype(jnp.float32)
-    f1sq = jnp.sum(f1 * f1, axis=1)[None, :]  # 2-D: 1-D operands break
+    f1t = F1.astype(jnp.float32).T                 # [D, N]: see _kernel
+    f1sq = jnp.sum(f1t * f1t, axis=0)[None, :]  # 2-D: 1-D operands break
     # pallas vmap batching (batch dim becomes an illegal block dim)
     secmask = (
         sector1[None, :] == jnp.arange(num_sectors)[:, None]
@@ -149,7 +159,7 @@ def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, d), lambda i: (0, 0),
+            pl.BlockSpec((d, n1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -167,5 +177,5 @@ def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
             jax.ShapeDtypeStruct((n0 + pad0, num_sectors, k), jnp.int32),
         ),
         interpret=interpret,
-    )(f0, f1, f1sq, secmask)
+    )(f0, f1t, f1sq, secmask)
     return idx[:n0], ok[:n0].astype(bool)
