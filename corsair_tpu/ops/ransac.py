@@ -28,7 +28,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from corsair_tpu.ops.kabsch import kabsch_quaternion, kabsch_umeyama
+from corsair_tpu.ops.kabsch import (
+    kabsch_quaternion_lanes,
+    kabsch_umeyama,
+)
 from corsair_tpu.ops.knn import small_topk_min
 
 
@@ -99,11 +102,19 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
     except RuntimeError:
         use_pallas = False
 
+    # One wide-row gather (src|dst|valid packed, 28-byte rows) instead
+    # of three 12/4-byte row gathers — see ransac_correspondences_multi.
+    packed = jnp.concatenate([
+        src.astype(jnp.float32), dst.astype(jnp.float32),
+        valid.astype(jnp.float32)[:, None],
+    ], axis=1)                                       # [M, 7]
+
     def chunk_step(samp_chunk):
-        src_h = src[samp_chunk]                      # [chunk, s, 3]
-        dst_h = dst[samp_chunk]
-        w_h = valid[samp_chunk].astype(jnp.float32)  # zero-out invalid
-        Ts = jax.vmap(kabsch_quaternion)(src_h, dst_h, w_h)
+        g = packed[samp_chunk]                       # [chunk, s, 7]
+        src_h = g[..., :3]
+        dst_h = g[..., 3:6]
+        w_h = g[..., 6]                              # zero-out invalid
+        Ts = kabsch_quaternion_lanes(src_h, dst_h, w_h)
         if use_pallas:
             from corsair_tpu.core.kernels.ransac_score import (
                 ransac_score_pallas,
@@ -175,14 +186,30 @@ def ransac_correspondences_multi(key, src, dsts, valids,
     s = config.sample_size
     max_d2 = jnp.float32(config.max_corr_dist**2)
 
-    raw = jax.random.randint(key, (c, h, s), 0, 2**31 - 1)
-    samp = raw % m                                    # [C, H, s]
+    # One [H, s] index draw SHARED by all candidates (indices are
+    # data-independent, so sharing loses nothing statistically), and one
+    # wide-row gather: src + every candidate's dst + valids packed into
+    # [M, 3+4C] rows (~160 B at C=9) instead of 2C+1 separate 12-byte
+    # row gathers. Tiny-row random gathers ran at <1 GB/s effective and
+    # were the profiled cost center of the whole RANSAC (73 of 146 ms);
+    # DMA efficiency scales with row width.
+    raw = jax.random.randint(key, (h, s), 0, 2**31 - 1)
+    samp = raw % m                                    # [H, s]
 
-    src_h = src[samp]                                 # [C, H, s, 3]
-    dst_h = jax.vmap(lambda d, sm: d[sm])(dsts, samp)
-    w_h = jax.vmap(lambda v, sm: v[sm])(valids, samp).astype(jnp.float32)
-    Ts = jax.vmap(kabsch_quaternion)(
-        src_h.reshape(c * h, s, 3), dst_h.reshape(c * h, s, 3),
+    packed = jnp.concatenate([
+        src.astype(jnp.float32),
+        jnp.moveaxis(dsts, 0, 1).reshape(m, 3 * c),
+        valids.T.astype(jnp.float32),
+    ], axis=1)                                        # [M, 3+4C]
+    g = packed[samp]                                  # [H, s, 3+4C]
+    src_h = g[..., :3]                                # [H, s, 3]
+    dst_h = jnp.moveaxis(
+        g[..., 3 : 3 + 3 * c].reshape(h, s, c, 3), 2, 0
+    )                                                 # [C, H, s, 3]
+    w_h = jnp.moveaxis(g[..., 3 + 3 * c :], 2, 0)     # [C, H, s]
+    src_hc = jnp.broadcast_to(src_h[None], (c, h, s, 3))
+    Ts = kabsch_quaternion_lanes(
+        src_hc.reshape(c * h, s, 3), dst_h.reshape(c * h, s, 3),
         w_h.reshape(c * h, s),
     ).reshape(c, h, 4, 4)
 

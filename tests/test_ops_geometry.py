@@ -125,6 +125,26 @@ class TestKabsch:
         T = np.asarray(kabsch_umeyama(src, dst))
         assert np.linalg.det(T[:3, :3]) > 0
 
+    def test_lanes_matches_vmapped_quaternion(self, rng):
+        """The lane-major batched Horn solve (hypothesis batch in the
+        minor dim, all-elementwise VPU ops) is the same math as the
+        per-sample quaternion solve."""
+        import jax
+
+        from corsair_tpu.ops.kabsch import (
+            kabsch_quaternion,
+            kabsch_quaternion_lanes,
+        )
+
+        B, s = 193, 10
+        src = jnp.asarray(rng.randn(B, s, 3).astype(np.float32))
+        dst = jnp.asarray(rng.randn(B, s, 3).astype(np.float32))
+        w = jnp.asarray((rng.rand(B, s) > 0.2).astype(np.float32))
+        ref = jax.vmap(kabsch_quaternion)(src, dst, w)
+        out = kabsch_quaternion_lanes(src, dst, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-6)
+
 
 class TestRansac:
     def test_recovers_pose_with_outliers(self, rng):
