@@ -140,17 +140,21 @@ class FeatureExtractor:
         ``valid`` bool [B, cap] -> (feats [B, cap, C], desc [B, D],
         overflow [B, num_levels] bool).
 
-        Each cloud runs as an independent vmapped SparseGrid: coordinate
-        sorts are per-cloud (cap log^2 cap instead of one giant batch
-        sort) and downstream registration can consume the outputs without
-        leaving the device. Any True in ``overflow`` means a level
+        Coordinate maps are built per cloud under vmap (per-cloud sorts:
+        cap log^2 cap instead of one giant batch sort), then flattened
+        into the collated multi-batch layout so the network forward runs
+        UNVMAPPED — vmapped conv gathers lower to batched gather HLOs
+        that run ~4x slower on TPU than the same flat gather (see
+        ``flatten_unet_maps``). Any True in ``overflow`` means a level
         capacity dropped voxels — callers must fail, not ignore.
         """
+        from corsair_tpu.core.coordmap import flatten_unet_maps
         from corsair_tpu.core.sparse import SENTINEL
 
         manager = manager or self.manager
+        b, cap = valid.shape
 
-        def one(coords_i, valid_i):
+        def build_one(coords_i, valid_i):
             grid = SparseGrid(
                 coords=jnp.where(valid_i[:, None], coords_i, SENTINEL),
                 batch=jnp.where(valid_i, 0, 1).astype(jnp.int32),
@@ -159,11 +163,21 @@ class FeatureExtractor:
                 stride=1,
                 num_batches=1,
             )
-            maps = manager.build(grid)
-            feats, desc = self.extract_with_maps(params, grid, maps)
-            return feats, desc[0], maps.overflow
+            return manager.build(grid)
 
-        return jax.vmap(one)(coords, valid)
+        maps_b = jax.vmap(build_one)(coords, valid)
+        flat_maps = flatten_unet_maps(maps_b, b)
+        l0 = flat_maps.levels[0]
+        flat_grid = SparseGrid(
+            coords=l0.coords,
+            batch=l0.batch,
+            feats=valid.reshape(-1, 1).astype(jnp.float32),
+            valid=l0.valid,
+            stride=1,
+            num_batches=b,
+        )
+        feats, desc = self.extract_with_maps(params, flat_grid, flat_maps)
+        return feats.reshape(b, cap, -1), desc, maps_b.overflow
 
     def pad_clouds(self, coords_list: List[np.ndarray],
                    cap: Optional[int] = None):
