@@ -95,7 +95,11 @@ def main():
     extractor = FeatureExtractor(ExtractorConfig(compute_dtype=dtype))
     params = extractor.init_params(jax.random.PRNGKey(0))
 
-    lib = [make_cloud(rng) for _ in range(N_LIB)]
+    # Pad the library to a full extraction batch: a ragged tail batch
+    # (652 = 40*16 + 12) triggered a second ~30 s XLA compile that
+    # landed in library_extract_s.
+    n_lib_pad = -(-N_LIB // EXTRACT_BATCH) * EXTRACT_BATCH
+    lib = [make_cloud(rng) for _ in range(n_lib_pad)]
     queries = [make_cloud(rng) for _ in range(N_QUERIES)]
 
     def measured_ratios(coords_list, cap):
@@ -157,6 +161,8 @@ def main():
     jax.block_until_ready(lib_desc)
     t_library = time.perf_counter() - t0
     assert not np.asarray(lib_ovf).any(), "level capacity overflow"
+    # Drop the batch-padding entries: the protocol library is N_LIB.
+    lib_feats, lib_desc = lib_feats[:N_LIB], lib_desc[:N_LIB]
 
     @jax.jit
     def retrieve(q_desc):

@@ -55,11 +55,18 @@ def _kernel(num_sectors, k, f0_ref, f1t_ref, f1sq_ref, secmask_ref,
     for s in range(num_sectors):
         mask = secmask_ref[s, :].reshape(1, n)             # [1, N] f32
         ds = jnp.where(mask > 0.5, d2, _BIG)
+        # The j-th extraction is valid iff the sector holds > j valid
+        # targets — a per-sector SCALAR (every query row shares the
+        # target mask), so the per-extraction min pass over [T, N] that
+        # previously backed `ok` is unnecessary (argmin + mask-update
+        # remain: 2 full passes per extraction instead of 3).
+        cnt = jnp.sum(mask)
         for j in range(k):
-            vals = jnp.min(ds, axis=1)                     # [T]
             idx = jnp.argmin(ds, axis=1).astype(jnp.int32)
             idx_ref[:, s, j] = idx
-            ok_ref[:, s, j] = (vals < _BIG / 2).astype(jnp.int32)
+            ok_ref[:, s, j] = jnp.broadcast_to(
+                (cnt > j).astype(jnp.int32), (t,)
+            )
             ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
 
 
@@ -153,8 +160,18 @@ def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
     secmask = secmask.astype(jnp.float32)
 
     n_tiles = (n0 + pad0) // tile
+    # ~3 live [tile, N] f32 temporaries + transposed operands + IO
+    # double-buffering; the 16 MB default scoped limit is marginal at
+    # tile=64, N=8192 (measured 16.5 MB) — raise it when close.
+    need = (8 * tile + 32) * n1 * 4
+    params = None
+    if need > 14 * 1024 * 1024:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * need, 100 * 1024 * 1024)
+        )
     idx, ok = pl.pallas_call(
         partial(_kernel, num_sectors, k),
+        compiler_params=params,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0),
