@@ -82,6 +82,13 @@ def random_rotation(pointcloud, rng=None):
     return pointcloud @ R.T + t, T
 
 
+def random_rotation_id(pointcloud):
+    """No-op variant returning the identity pose
+    (``utils/preprocess.py:89-92``) — used to disable augmentation while
+    keeping the (points, T) interface."""
+    return pointcloud, np.eye(4)
+
+
 def random_pose_limits(rng, max_rpy_deg, max_txyz):
     """Random pose with per-axis limits (``evaluation-shapenet.py:79-94``)."""
     rpy = np.deg2rad([rng.uniform(-m, m) for m in max_rpy_deg])
