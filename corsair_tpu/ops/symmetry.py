@@ -194,15 +194,22 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
     src_shared = jnp.repeat(xyz0, k_nn, axis=0)
     dst_all = xyz1[idx1]
 
-    # ---- symmetric sector cuts, both clouds in one batched call (the
-    # two 100-candidate KMeans fits share one device program instead of
-    # two sequential dispatches)
-    sec_b, ok_b = jax.vmap(
-        lambda kk, F, X, V: symmetric_cut(kk, F, X, V, config)
-    )(jnp.stack([k_cut0, k_cut1]), jnp.stack([baseF, posF]),
-      jnp.stack([xyz0, xyz1]), jnp.stack([v0, v1]))
-    sec0, sec1 = sec_b[0], sec_b[1]
-    sym_ok = ok_b[0] & ok_b[1]
+    # ---- symmetric sector cuts. Batch the two 100-candidate KMeans
+    # fits into one device program only when the two clouds share a
+    # padded capacity — the deployed register_pairs path pads query and
+    # CAD sides to INDEPENDENT caps (eval/registration.py), where a
+    # stacked call would be a shape error.
+    if baseF.shape == posF.shape and v0.shape == v1.shape:
+        sec_b, ok_b = jax.vmap(
+            lambda kk, F, X, V: symmetric_cut(kk, F, X, V, config)
+        )(jnp.stack([k_cut0, k_cut1]), jnp.stack([baseF, posF]),
+          jnp.stack([xyz0, xyz1]), jnp.stack([v0, v1]))
+        sec0, sec1 = sec_b[0], sec_b[1]
+        sym_ok = ok_b[0] & ok_b[1]
+    else:
+        sec0, ok0 = symmetric_cut(k_cut0, baseF, xyz0, v0, config)
+        sec1, ok1 = symmetric_cut(k_cut1, posF, xyz1, v1, config)
+        sym_ok = ok0 & ok1
 
     # ---- per-sector kNN (computed once; every shift reuses it)
     sec_idx, sec_okm = find_kcorr_per_sector(

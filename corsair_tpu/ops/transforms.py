@@ -83,9 +83,9 @@ def random_rotation(pointcloud, rng=None):
 
 
 def random_rotation_id(pointcloud):
-    """No-op variant returning the identity pose
-    (``utils/preprocess.py:89-92``) — used to disable augmentation while
-    keeping the (points, T) interface."""
+    """Parity counterpart of ``utils/preprocess.py:89-92`` (unused by
+    the reference's entry points too): identity pose with the
+    ``random_rotation`` (points, T) interface."""
     return pointcloud, np.eye(4)
 
 

@@ -168,6 +168,15 @@ class FeatureExtractor:
         maps_b = jax.vmap(build_one)(coords, valid)
         flat_maps = flatten_unet_maps(maps_b, b)
         l0 = flat_maps.levels[0]
+        # Level-0 capacity must equal the input cap (ratio[0] == 1.0):
+        # the flat grid's feats/miss-row indexing and the final reshape
+        # both assume it. Fail loudly on a mismatched custom manager.
+        if l0.coords.shape[0] != b * cap:
+            raise ValueError(
+                f"manager level-0 capacity {l0.coords.shape[0] // b} != "
+                f"input cap {cap}; extract_padded requires "
+                f"level_cap_ratios[0] == 1.0"
+            )
         flat_grid = SparseGrid(
             coords=l0.coords,
             batch=l0.batch,

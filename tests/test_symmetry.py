@@ -163,3 +163,37 @@ class TestSymPose:
         assert np.isfinite(T_best).all()
         assert np.isfinite(cd_best)
         assert np.isfinite(T_ransac).all()
+
+    def test_unequal_capacities(self, rng):
+        """The deployed register_pairs path pads the query and CAD
+        sides to INDEPENDENT caps (eval/registration.py) — sym_pose must
+        accept different row counts on the two sides (regression: a
+        stacked symmetric-cut call was a trace-time shape error)."""
+        xyz0, feat = _two_sided_cloud(rng, n=200)
+        T = np.eye(4)
+        T[:3, :3] = euler_y(np.float64(0.7))
+        xyz1 = apply_transform(xyz0, T).astype(np.float32)
+        # pad the CAD side to a larger capacity
+        pad = 56
+        xyz1p = np.concatenate([xyz1, np.zeros((pad, 3), np.float32)])
+        featp = np.concatenate(
+            [feat, np.zeros((pad, feat.shape[1]), np.float32)]
+        )
+        v0 = np.ones(len(xyz0), bool)
+        v1 = np.concatenate([np.ones(len(xyz1), bool),
+                             np.zeros(pad, bool)])
+        cfg = SymPoseConfig(
+            num_sectors=2, max_sample=16, kmeans_restarts=3,
+            kmeans_iters=12, max_corr=0.2,
+            ransac=RansacConfig(num_hypotheses=512, sample_size=10),
+        )
+        out = sym_pose(
+            jax.random.PRNGKey(0),
+            jnp.asarray(feat), jnp.asarray(xyz0), jnp.asarray(v0),
+            jnp.asarray(featp), jnp.asarray(xyz1p), jnp.asarray(v1),
+            cfg, chunk=128,
+        )
+        T_best = np.asarray(out[0])
+        assert np.isfinite(T_best).all()
+        t_err, r_err = eval_pose(T_best, np.eye(4), T, 1)
+        assert r_err < np.deg2rad(5)
