@@ -156,3 +156,34 @@ class TestRegisterGtPath:
         assert cached is not None
         # gt registration on near-identical geometry: low chamfer
         assert res.chamfer_dist_sym.min() < 0.5
+
+
+class TestDegenerateClouds:
+    def test_extract_padded_all_invalid_cloud(self):
+        """A batch containing an empty (all-padding) cloud must extract
+        without NaNs and yield finite descriptors for the real clouds —
+        the flat forward's miss-row indexing and segment pooling must
+        tolerate a cloud with zero valid voxels."""
+        import jax
+        import jax.numpy as jnp
+
+        from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+
+        rng = np.random.RandomState(0)
+        extractor = FeatureExtractor(ExtractorConfig())
+        params = extractor.init_params(jax.random.PRNGKey(0))
+        cap = 512
+        coords = np.zeros((3, cap, 3), np.int32)
+        valid = np.zeros((3, cap), bool)
+        for i in range(2):  # cloud 2 stays empty
+            g = np.unique(
+                rng.randint(-40, 40, (300, 3)).astype(np.int32), axis=0
+            )
+            coords[i, : len(g)] = g
+            valid[i, : len(g)] = True
+        feats, desc, ovf = extractor.extract_padded(
+            params, jnp.asarray(coords), jnp.asarray(valid)
+        )
+        assert not np.asarray(ovf).any()
+        assert np.isfinite(np.asarray(desc)[:2]).all()
+        assert np.isfinite(np.asarray(feats)[valid]).all()
