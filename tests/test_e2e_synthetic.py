@@ -187,3 +187,41 @@ class TestDegenerateClouds:
         assert not np.asarray(ovf).any()
         assert np.isfinite(np.asarray(desc)[:2]).all()
         assert np.isfinite(np.asarray(feats)[valid]).all()
+
+    def test_extract_padded_matches_collated_path(self):
+        """The per-cloud-maps + flattened forward (extract_padded) must
+        agree with the directly-collated build (extract_batch_np) — the
+        two paths build identical tables through different pipelines."""
+        import jax
+        import jax.numpy as jnp
+
+        from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+
+        rng = np.random.RandomState(1)
+        extractor = FeatureExtractor(
+            ExtractorConfig(auto_level_caps=False)
+        )
+        params = extractor.init_params(jax.random.PRNGKey(0))
+        clouds = []
+        for n in (260, 410):
+            g = np.unique(
+                rng.randint(-40, 40, (n, 3)).astype(np.int32), axis=0
+            )
+            clouds.append(g)
+        cap = 512
+        coords, valid = extractor.pad_clouds(clouds, cap)
+        feats_p, desc_p, ovf = extractor.extract_padded(
+            params, jnp.asarray(coords), jnp.asarray(valid)
+        )
+        assert not np.asarray(ovf).any()
+
+        feats_c, desc_c = extractor.extract_batch_np(
+            params, clouds, capacity=2 * cap
+        )
+        for i, c in enumerate(clouds):
+            np.testing.assert_allclose(
+                np.asarray(feats_p)[i, : len(c)], feats_c[i],
+                rtol=2e-4, atol=2e-5,
+            )
+        np.testing.assert_allclose(np.asarray(desc_p), np.asarray(desc_c),
+                                   rtol=2e-4, atol=2e-5)
