@@ -225,3 +225,33 @@ class TestDegenerateClouds:
             )
         np.testing.assert_allclose(np.asarray(desc_p), np.asarray(desc_c),
                                    rtol=2e-4, atol=2e-5)
+
+
+class TestHeadlessGui:
+    def test_save_result_figures(self, tmp_path, rng):
+        """Headless six-view figure dump works from a minimal app state
+        (the vedo browser shares the same data surface; cli/gui.py)."""
+        import types
+
+        from corsair_tpu.cli.gui import save_result_figures
+
+        n_lib, n_pts, d = 3, 200, 16
+
+        def cloud():
+            return rng.randn(n_pts, 3).astype(np.float32)
+
+        app = types.SimpleNamespace(
+            base_outputs=[rng.randn(n_pts, d).astype(np.float32)],
+            base_origins=[cloud()],
+            base_Ts=[np.eye(4, dtype=np.float32)],
+            base_feats=np.asarray(rng.randn(1, 256), np.float32),
+            lib_feats=np.asarray(rng.randn(n_lib, 256), np.float32),
+            lib_origins=[cloud() for _ in range(n_lib)],
+            lib_outputs=[rng.randn(n_pts, d).astype(np.float32)
+                         for _ in range(n_lib)],
+            results=None,
+        )
+        paths = save_result_figures(app, str(tmp_path), indices=[0],
+                                    max_points=100)
+        assert len(paths) == 1
+        assert os.path.getsize(paths[0]) > 5000
