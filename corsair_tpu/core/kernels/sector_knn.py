@@ -196,3 +196,141 @@ def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
         interpret=interpret,
     )(f0, f1t, f1sq, secmask)
     return idx[:n0], ok[:n0].astype(bool)
+
+
+def _kernel_chunked(num_sectors, k, chunk, f0_ref, f1t_ref, f1sq_ref,
+                    secmask_ref, bitmap_ref, idx_ref, ok_ref,
+                    minv_ref, mini_ref):
+    """Chunk-skipping variant for SECTOR-SORTED targets.
+
+    With target rows grouped by sector, each sector occupies a
+    contiguous ~N/K span of columns; the per-(sector, extraction) scans
+    visit only the chunks the occupancy bitmap marks, cutting the
+    dominant VPU extraction cost ~K-fold. Winner exclusion re-checks
+    prior winners inline (j compares per visited chunk) instead of
+    mutating a [T, N] copy. Running (min, argmin) carried in VMEM
+    scratch under ``pl.when`` guards; strict < updates in ascending
+    chunk order preserve first-index tie-break semantics."""
+    f0 = f0_ref[:]                      # [T, D]
+    f1t = f1t_ref[:]                    # [D, N]
+    n = f1t.shape[1]
+    t = f0.shape[0]
+
+    f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)
+    d2 = f0sq + f1sq_ref[0, :].reshape(1, n) - 2.0 * jnp.dot(
+        f0, f1t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                   # [T, N]
+
+    n_chunks = n // chunk
+    for s in range(num_sectors):
+        cnt = jnp.sum(secmask_ref[s, :])
+        for j in range(k):
+            minv_ref[:, 0] = jnp.full((t,), _BIG, jnp.float32)
+            mini_ref[:, 0] = jnp.zeros((t,), jnp.int32)
+            for c in range(n_chunks):
+                @pl.when(bitmap_ref[s, c] > 0.5)
+                def _(s=s, j=j, c=c):
+                    sl = slice(c * chunk, (c + 1) * chunk)
+                    m = secmask_ref[s, sl].reshape(1, chunk)
+                    dc = jnp.where(m > 0.5, d2[:, sl], _BIG)
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (t, chunk), 1
+                    ) + c * chunk
+                    for p in range(j):
+                        prev = idx_ref[:, s, p]
+                        dc = jnp.where(col == prev[:, None], _BIG, dc)
+                    v = jnp.min(dc, axis=1)
+                    i = jnp.argmin(dc, axis=1).astype(jnp.int32) \
+                        + c * chunk
+                    upd = v < minv_ref[:, 0]
+                    minv_ref[:, 0] = jnp.where(upd, v, minv_ref[:, 0])
+                    mini_ref[:, 0] = jnp.where(upd, i, mini_ref[:, 0])
+            idx_ref[:, s, j] = mini_ref[:, 0]
+            ok_ref[:, s, j] = jnp.broadcast_to(
+                (cnt > j).astype(jnp.int32), (t,)
+            )
+
+
+@partial(jax.jit, static_argnames=("num_sectors", "k", "tile", "chunk",
+                                   "interpret"))
+def sector_knn_sorted_pallas(F0, F1_sorted, sector_sorted,
+                             num_sectors: int, k: int, v1_sorted=None,
+                             tile: int = 32, chunk: int = 512,
+                             interpret: bool = False):
+    """Per-sector top-k against a SECTOR-SORTED target set.
+
+    Same contract as ``sector_knn_pallas`` except the caller must
+    pre-sort targets by sector (invalid rows last) so the occupancy
+    bitmap makes chunk skipping effective; returned indices address the
+    SORTED row space (caller remaps through its sort order)."""
+    try:
+        interpret = interpret or jax.default_backend() == "cpu"
+    except RuntimeError:
+        interpret = True
+
+    n0, d = F0.shape
+    n1 = F1_sorted.shape[0]
+    chunk = min(chunk, n1)
+    pad1 = (-n1) % chunk
+    if pad1:
+        F1_sorted = jnp.pad(F1_sorted, ((0, pad1), (0, 0)))
+        sector_sorted = jnp.pad(
+            sector_sorted, (0, pad1), constant_values=num_sectors
+        )
+        if v1_sorted is not None:
+            v1_sorted = jnp.pad(v1_sorted, (0, pad1))
+        n1 += pad1
+    pad0 = (-n0) % tile
+    f0 = jnp.pad(F0.astype(jnp.float32), ((0, pad0), (0, 0)))
+    f1t = F1_sorted.astype(jnp.float32).T
+    f1sq = jnp.sum(f1t * f1t, axis=0)[None, :]
+    secmask = sector_sorted[None, :] == jnp.arange(num_sectors)[:, None]
+    if v1_sorted is not None:
+        secmask = secmask & v1_sorted[None, :]
+    secmask = secmask.astype(jnp.float32)
+    n_chunks = n1 // chunk
+    bitmap = (
+        secmask.reshape(num_sectors, n_chunks, chunk).max(axis=2)
+    )                                    # [S, n_chunks] occupancy
+
+    n_tiles = (n0 + pad0) // tile
+    need = (8 * tile + 32) * n1 * 4
+    params = None
+    if need > 14 * 1024 * 1024:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * need, 100 * 1024 * 1024)
+        )
+    idx, ok = pl.pallas_call(
+        partial(_kernel_chunked, num_sectors, k, chunk),
+        compiler_params=params,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, n1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_sectors, n1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_sectors, n_chunks), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, num_sectors, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, num_sectors, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n0 + pad0, num_sectors, k), jnp.int32),
+            jax.ShapeDtypeStruct((n0 + pad0, num_sectors, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(f0, f1t, f1sq, secmask, bitmap)
+    return idx[:n0], ok[:n0].astype(bool)

@@ -89,9 +89,38 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
     if use_pallas is None:
         use_pallas = _use_pallas_sector_knn(F1.shape[0])
     if use_pallas:
-        from corsair_tpu.core.kernels.sector_knn import sector_knn_pallas
+        import os
 
         tile = 64 if F1.shape[0] <= 8192 else 32
+        if (num_sectors > 1 and F1.shape[0] >= 4096
+                and os.environ.get("CORSAIR_SORTED_KNN", "0") == "1"):
+            # Sector-sorted chunk-skipping kernel (CORSAIR_SORTED_KNN=1,
+            # measured LOSER): group targets by sector so each sector's
+            # extraction scans ~N/K contiguous columns instead of N.
+            # On v5e at [8, 16384] it ran 2x SLOWER than the full-width
+            # kernel (1140 vs 549 ms): the 640 pl.when-guarded 512-wide
+            # blocks pay per-block scratch/VMEM overhead that full-width
+            # vector scans amortize away. Kept as the measured record +
+            # starting point if Mosaic block overheads improve.
+            from corsair_tpu.core.kernels.sector_knn import (
+                sector_knn_sorted_pallas,
+            )
+
+            n1 = F1.shape[0]
+            v1b = (jnp.ones((n1,), bool) if v1 is None else v1)
+            key_sec = jnp.where(v1b, sector1, num_sectors)
+            _, order = jax.lax.sort(
+                (key_sec.astype(jnp.int32),
+                 jnp.arange(n1, dtype=jnp.int32)),
+                num_keys=1, is_stable=True,
+            )
+            idx_s, ok = sector_knn_sorted_pallas(
+                F0, F1[order], key_sec[order], num_sectors, k,
+                v1_sorted=v1b[order], tile=tile,
+            )
+            return order[idx_s], ok
+        from corsair_tpu.core.kernels.sector_knn import sector_knn_pallas
+
         return sector_knn_pallas(
             F0, F1, sector1, num_sectors, k, v1=v1, tile=tile
         )

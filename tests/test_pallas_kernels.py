@@ -219,3 +219,68 @@ class TestRansacScoreMatmul:
         assert np.abs(np.asarray(cm) - np.asarray(rc)).max() <= 1
         np.testing.assert_allclose(np.asarray(sm), np.asarray(rs),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestSectorKnnSorted:
+    def test_matches_xla_reference(self, rng):
+        """Chunk-skipping sector-sorted kernel (dispatched through
+        find_kcorr_per_sector with use_pallas=True) matches the XLA
+        path: indices equal where valid, ok flags equal everywhere."""
+        from corsair_tpu.ops.correspond import (
+            _find_kcorr_per_sector_xla,
+            find_kcorr_per_sector,
+        )
+
+        N0, N1, D, S, K = 96, 4608, 8, 4, 5
+        F0 = jnp.asarray(rng.randn(N0, D).astype(np.float32))
+        F1 = jnp.asarray(rng.randn(N1, D).astype(np.float32))
+        sec = rng.randint(0, S, N1).astype(np.int32)
+        sec[rng.rand(N1) < 0.7] = 0        # unbalanced sectors
+        sec[sec == 3] = 0                  # sector 3 empty
+        v1 = rng.rand(N1) > 0.2
+        secj, v1j = jnp.asarray(sec), jnp.asarray(v1)
+
+        import os
+
+        os.environ["CORSAIR_SORTED_KNN"] = "1"
+        try:
+            idx_p, ok_p = find_kcorr_per_sector(
+                F0, F1, secj, S, K, v1=v1j, use_pallas=True
+            )
+        finally:
+            os.environ.pop("CORSAIR_SORTED_KNN")
+        idx_r, ok_r = _find_kcorr_per_sector_xla(
+            F0, F1, secj, S, K, v1=v1j
+        )
+        ok_p, ok_r = np.asarray(ok_p), np.asarray(ok_r)
+        np.testing.assert_array_equal(ok_p, ok_r)
+        np.testing.assert_array_equal(
+            np.asarray(idx_p)[ok_p], np.asarray(idx_r)[ok_r]
+        )
+
+    def test_small_sector_counts(self, rng):
+        """Sectors with fewer than k valid members: ok flags must mark
+        exactly the first count extractions."""
+        from corsair_tpu.ops.correspond import find_kcorr_per_sector
+
+        N0, N1, D, S, K = 32, 4096, 8, 4, 5
+        F0 = jnp.asarray(rng.randn(N0, D).astype(np.float32))
+        F1 = jnp.asarray(rng.randn(N1, D).astype(np.float32))
+        sec = np.zeros(N1, np.int32)
+        sec[:3] = 1                        # sector 1 has exactly 3
+        sec[3:5] = 2                       # sector 2 has exactly 2
+        v1 = np.ones(N1, bool)
+        import os
+
+        os.environ["CORSAIR_SORTED_KNN"] = "1"
+        try:
+            idx, ok = find_kcorr_per_sector(
+                F0, F1, jnp.asarray(sec), S, K, v1=jnp.asarray(v1),
+                use_pallas=True,
+            )
+        finally:
+            os.environ.pop("CORSAIR_SORTED_KNN")
+        ok = np.asarray(ok)
+        assert ok[:, 1, :3].all() and not ok[:, 1, 3:].any()
+        assert ok[:, 2, :2].all() and not ok[:, 2, 2:].any()
+        assert not ok[:, 3, :].any()
