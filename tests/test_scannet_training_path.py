@@ -83,3 +83,30 @@ class TestTripletPath:
             params, opt_state, batch, cap
         )
         assert np.isfinite(float(loss))
+
+
+class TestTrainCli:
+    @pytest.mark.slow
+    def test_main_one_epoch(self, setup, tmp_path, monkeypatch):
+        """The finetune CLI end-to-end: one epoch over the synthetic
+        tree, checkpoint written, loss logged (cli/train.py parity with
+        the reference's training loop entry)."""
+        import os
+
+        tree, _, _, _ = setup
+        from corsair_tpu.cli.train import main
+
+        monkeypatch.chdir(tmp_path)
+        main([
+            "--shapenet-pc15k-root", tree["shapenet_root"],
+            "--scan2cad-pc-root", tree["scan_root"],
+            "--scan2cad-annotation-root", tree["annotation_root"],
+            "--config-dir", tree["config_dir"],
+            "--category", "chair",
+            "--voxel-size", "0.05",
+            "--batch-size", "2",
+            "--epochs", "1",
+            "--save-dir", str(tmp_path / "ckpts"),
+        ])
+        ckpts = os.listdir(tmp_path / "ckpts")
+        assert any(f.endswith(".npz") or "finetune" in f for f in ckpts)
