@@ -18,16 +18,22 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timeit(fn, *args, iters=3):
+def _fetch(out):
+    """Force a host fetch: block_until_ready returns early for small
+    outputs through the axon tunnel (see NOTES.md measurement pitfalls)."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        np.asarray(leaf)
+
+
+def timeit(fn, *args, iters=3):
+    _fetch(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _fetch(fn(*args))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
 
