@@ -138,12 +138,19 @@ def min_dist_pallas(X0, X1, v1=None, tile: int = 256, chunk: int = 2048,
 
 
 @partial(jax.jit, static_argnames=("num_sectors", "k", "tile",
-                                   "interpret"))
+                                   "interpret", "include_global"))
 def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
-                      v1=None, tile: int = 64, interpret: bool = False):
+                      v1=None, tile: int = 64, interpret: bool = False,
+                      include_global: bool = False):
     """Per-sector top-k neighbors. Returns (idx [N0, S, k], ok [N0, S, k]).
 
     Drop-in replacement for the XLA path of ``find_kcorr_per_sector``.
+
+    ``include_global=True`` prepends an extra "sector" spanning ALL valid
+    targets, so slot 0 of the output is the global top-k — the d2 tile is
+    computed once and reused for global + per-sector extraction (the
+    symmetry-aided path previously paid a second full-distance kernel for
+    the global correspondences, ``utils/eval_pose.py:48-79``).
     """
     n0, d = F0.shape
     n1 = F1.shape[0]
@@ -157,6 +164,11 @@ def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
     )
     if v1 is not None:
         secmask = secmask & v1[None, :]
+    if include_global:
+        allrow = (jnp.ones((1, n1), bool) if v1 is None
+                  else v1[None, :])
+        secmask = jnp.concatenate([allrow, secmask], axis=0)
+        num_sectors = num_sectors + 1
     secmask = secmask.astype(jnp.float32)
 
     n_tiles = (n0 + pad0) // tile

@@ -84,15 +84,20 @@ def _use_pallas_sector_knn(n1: int) -> bool:
 
 def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
                           v1=None, chunk: int = 1024,
-                          use_pallas=None):
-    """Dispatcher: Pallas fused kernel on TPU, chunked XLA elsewhere."""
+                          use_pallas=None, include_global: bool = False):
+    """Dispatcher: Pallas fused kernel on TPU, chunked XLA elsewhere.
+
+    ``include_global=True`` returns ``[N0, S+1, k]`` with slot 0 holding
+    the GLOBAL top-k over all valid targets (one shared distance pass;
+    see ``sector_knn_pallas``)."""
     if use_pallas is None:
         use_pallas = _use_pallas_sector_knn(F1.shape[0])
     if use_pallas:
         import os
 
         tile = 64 if F1.shape[0] <= 8192 else 32
-        if (num_sectors > 1 and F1.shape[0] >= 4096
+        if (not include_global and num_sectors > 1
+                and F1.shape[0] >= 4096
                 and os.environ.get("CORSAIR_SORTED_KNN", "0") == "1"):
             # Sector-sorted chunk-skipping kernel (CORSAIR_SORTED_KNN=1,
             # measured LOSER): group targets by sector so each sector's
@@ -122,16 +127,20 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
         from corsair_tpu.core.kernels.sector_knn import sector_knn_pallas
 
         return sector_knn_pallas(
-            F0, F1, sector1, num_sectors, k, v1=v1, tile=tile
+            F0, F1, sector1, num_sectors, k, v1=v1, tile=tile,
+            include_global=include_global,
         )
     return _find_kcorr_per_sector_xla(
-        F0, F1, sector1, num_sectors, k, v1=v1, chunk=chunk
+        F0, F1, sector1, num_sectors, k, v1=v1, chunk=chunk,
+        include_global=include_global,
     )
 
 
-@partial(jax.jit, static_argnames=("num_sectors", "k", "chunk"))
+@partial(jax.jit, static_argnames=("num_sectors", "k", "chunk",
+                                   "include_global"))
 def _find_kcorr_per_sector_xla(F0, F1, sector1, num_sectors: int, k: int,
-                               v1=None, chunk: int = 1024):
+                               v1=None, chunk: int = 1024,
+                               include_global: bool = False):
     """For each source row, the top-k F1 neighbors *within every target
     sector*: ``idx [N0, S, k]``, ``ok [N0, S, k]`` (False when the sector has
     fewer than needed valid points).
@@ -148,6 +157,11 @@ def _find_kcorr_per_sector_xla(F0, F1, sector1, num_sectors: int, k: int,
     )  # [S, N1]
     if v1 is not None:
         sec_mask = sec_mask & v1[None, :]
+    if include_global:
+        allrow = (jnp.ones((1, F1.shape[0]), bool) if v1 is None
+                  else v1[None, :])
+        sec_mask = jnp.concatenate([allrow, sec_mask], axis=0)
+        num_sectors = num_sectors + 1
 
     def body(qc):
         d2 = pairwise_sqdist(qc, F1)  # [chunk, N1]

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from corsair_tpu.ops.chamfer import _min_nn_dists
-from corsair_tpu.ops.correspond import find_kcorr, find_kcorr_per_sector
+from corsair_tpu.ops.correspond import find_kcorr_per_sector
 from corsair_tpu.ops.kmeans import kmeans_lloyd, kmeans_predict
 from corsair_tpu.ops.ransac import (
     RansacConfig,
@@ -186,14 +186,6 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
     k_cut0, k_cut1, k_r = jax.random.split(key, 3)
     r_keys = jax.random.split(k_r, S + 1)
 
-    # ---- vanilla RANSAC on global correspondences.
-    # Every candidate's source side is the same (each source point
-    # repeated k times, utils/eval_pose.py:74-79): share one array
-    # instead of stacking [S+1, N0*k, 3] copies.
-    idx0, idx1, cvalid = find_kcorr(baseF, posF, k_nn, v0, v1, chunk=chunk)
-    src_shared = jnp.repeat(xyz0, k_nn, axis=0)
-    dst_all = xyz1[idx1]
-
     # ---- symmetric sector cuts. Batch the two 100-candidate KMeans
     # fits into one device program only when the two clouds share a
     # padded capacity — the deployed register_pairs path pads query and
@@ -211,10 +203,23 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
         sec1, ok1 = symmetric_cut(k_cut1, posF, xyz1, v1, config)
         sym_ok = ok0 & ok1
 
-    # ---- per-sector kNN (computed once; every shift reuses it)
-    sec_idx, sec_okm = find_kcorr_per_sector(
-        baseF, posF, sec1, K, k_nn, v1=v1, chunk=chunk
-    )  # [N0, K, k]
+    # ---- one fused distance pass: slot 0 = GLOBAL top-k (the vanilla
+    # RANSAC correspondences, utils/eval_pose.py:48-79), slots 1..K =
+    # per-sector top-k reused by every cyclic shift. Computing both from
+    # one d2 tile saves the second full feature-distance kernel the
+    # round-2 pipeline paid (VERDICT r2 weak #2).
+    all_idx, all_okm = find_kcorr_per_sector(
+        baseF, posF, sec1, K, k_nn, v1=v1, chunk=chunk,
+        include_global=True,
+    )  # [N0, K+1, k]
+    sec_idx, sec_okm = all_idx[:, 1:], all_okm[:, 1:]   # [N0, K, k]
+
+    # vanilla RANSAC correspondences: every source point repeated k
+    # times (utils/eval_pose.py:74-79); source side shared across the
+    # S+1 RANSAC candidates instead of stacking [S+1, N0*k, 3] copies.
+    src_shared = jnp.repeat(xyz0, k_nn, axis=0)
+    dst_all = xyz1[all_idx[:, 0].reshape(-1)]
+    cvalid = jnp.repeat(v0, k_nn) & all_okm[:, 0].reshape(-1)
 
     perms = jnp.asarray(shift_permutations(K))  # [S, K]
 

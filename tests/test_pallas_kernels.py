@@ -40,6 +40,49 @@ class TestSectorKnnKernel:
         )
         np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
 
+    def test_include_global_slot0(self, rng):
+        """include_global=True: slot 0 must equal the direct global
+        top-k (find_kcorr) and slots 1..S the plain per-sector result."""
+        from corsair_tpu.ops.correspond import _find_kcorr_xla
+
+        F0 = rng.randn(200, 16).astype(np.float32)
+        F1 = rng.randn(384, 16).astype(np.float32)
+        sec = rng.randint(0, 4, 384).astype(np.int32)
+        v1 = np.ones(384, bool)
+        v1[360:] = False
+        idx_g, ok_g = sector_knn_pallas(
+            jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 5,
+            v1=jnp.asarray(v1), tile=128, interpret=True,
+            include_global=True,
+        )
+        assert idx_g.shape == (200, 5, 5)
+        # slot 0 == direct global top-k
+        ref_global = _find_kcorr_xla(
+            jnp.asarray(F0), jnp.asarray(F1), 5, jnp.asarray(v1),
+            chunk=128,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(idx_g[:, 0]), np.asarray(ref_global)
+        )
+        assert np.asarray(ok_g)[:, 0].all()
+        # slots 1.. == plain per-sector call
+        idx_p, ok_p = sector_knn_pallas(
+            jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 5,
+            v1=jnp.asarray(v1), tile=128, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(idx_g[:, 1:]), np.asarray(idx_p)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ok_g[:, 1:]), np.asarray(ok_p)
+        )
+        # XLA fallback path agrees too
+        idx_x, ok_x = _find_kcorr_per_sector_xla(
+            jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 5,
+            v1=jnp.asarray(v1), chunk=128, include_global=True,
+        )
+        np.testing.assert_array_equal(np.asarray(idx_g), np.asarray(idx_x))
+
     def test_empty_sector(self, rng):
         """A sector with no members must report ok=False everywhere."""
         F0 = rng.randn(64, 4).astype(np.float32)
