@@ -168,7 +168,7 @@ def _residual_block(params, feats, table, batch, valid, nb, norm_type,
 
 
 def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
-            training: bool = False, stats_out=None):
+            training: bool = False, stats_out=None, taps_out=None):
     """Returns (point_feats [N,out_ch], bottleneck_feats [N4, ch4]).
 
     Point features are L2-normalized when ``cfg.normalize_feature``
@@ -178,6 +178,14 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
     ``training=True`` normalizes with masked batch statistics (torch BN
     train mode); pass a dict as ``stats_out`` to collect the per-layer
     batch stats for running-stat EMA updates.
+
+    Pass a dict as ``taps_out`` to collect the named intermediate
+    tensors of the reference forward (``model/resunet.py:207-256``):
+    encoder ``out_s1/out_s2/out_s4/out_s8`` (post residual block, the
+    variables ME dumps carry), decoder ``out_s4_tr/out_s2_tr/out_s1_tr``
+    (post block + relu), and ``pre_normalize`` (after the final 1x1
+    conv, before L2 normalization). Used by the checkpoint verifier to
+    compare a MinkowskiEngine activation dump layer by layer.
     """
     L = maps.levels
     nb = grid.num_batches
@@ -219,6 +227,12 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
 
     bottleneck = out_s8  # returned raw (model/resunet.py:230)
 
+    if taps_out is not None:
+        taps_out["out_s1"] = out_s1
+        taps_out["out_s2"] = out_s2
+        taps_out["out_s4"] = out_s4
+        taps_out["out_s8"] = out_s8
+
     # ---- decoder
     out = sparse_conv(params["conv4_tr"], out, L[3].up_table, cfg.compute_dtype)
     out = norm("norm4_tr", out, 2)
@@ -226,6 +240,8 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
                           L[2].batch, L[2].valid, nb, bt, training,
                           stats_out, "block4_tr", cfg.compute_dtype)
     out = relu(out)
+    if taps_out is not None:
+        taps_out["out_s4_tr"] = out
     out = jnp.concatenate([out, out_s4], axis=1)  # ME.cat skip
 
     out = sparse_conv(params["conv3_tr"], out, L[2].up_table, cfg.compute_dtype)
@@ -234,6 +250,8 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
                           L[1].batch, L[1].valid, nb, bt, training,
                           stats_out, "block3_tr", cfg.compute_dtype)
     out = relu(out)
+    if taps_out is not None:
+        taps_out["out_s2_tr"] = out
     out = jnp.concatenate([out, out_s2], axis=1)
 
     out = sparse_conv(params["conv2_tr"], out, L[1].up_table, cfg.compute_dtype)
@@ -242,11 +260,17 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
                           L[0].batch, L[0].valid, nb, bt, training,
                           stats_out, "block2_tr", cfg.compute_dtype)
     out = relu(out)
+    if taps_out is not None:
+        taps_out["out_s1_tr"] = out
     out = jnp.concatenate([out, out_s1], axis=1)
 
     out = sparse_conv1x1(params["conv1_tr"], out)
     out = relu(out)
     out = sparse_conv1x1(params["final"], out)
+    if taps_out is not None:
+        taps_out["pre_normalize"] = jnp.where(
+            L[0].valid[:, None], out, 0.0
+        )
 
     if cfg.normalize_feature:
         out = l2_normalize(out, axis=1)

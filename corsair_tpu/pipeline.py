@@ -188,6 +188,56 @@ class FeatureExtractor:
         feats, desc = self.extract_with_maps(params, flat_grid, flat_maps)
         return feats.reshape(b, cap, -1), desc, maps_b.overflow
 
+    # Reference intermediate -> U-Net level (model/resunet.py:207-256).
+    TAP_LEVELS = {
+        "out_s1": 0, "out_s2": 1, "out_s4": 2, "out_s8": 3,
+        "out_s4_tr": 2, "out_s2_tr": 1, "out_s1_tr": 0,
+        "pre_normalize": 0, "final": 0,
+    }
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _extract_with_taps(self, params, grid: SparseGrid, maps):
+        taps = {}
+        feats, bottleneck = resunet.forward(
+            params["model"], grid, maps, self.model_cfg, taps_out=taps
+        )
+        l4 = maps.levels[3]
+        desc = heads.conv1_max_embedding_apply(
+            params["embedding"], bottleneck, l4.batch, l4.valid,
+            grid.num_batches,
+        )
+        if self.config.normalize_descriptor:
+            desc = l2_normalize(desc, axis=1)
+        taps["final"] = feats
+        taps["descriptor"] = desc
+        return taps
+
+    def extract_taps_np(self, params, coords: np.ndarray):
+        """Single-cloud forward returning every reference intermediate
+        (``model/resunet.py:207-256`` variables; see ``TAP_LEVELS``) as
+        numpy, each restricted to valid rows, plus ``<name>_coords``
+        [N, 3] voxel coordinates (stride multiples, ME convention) so a
+        MinkowskiEngine activation dump can be aligned row-by-row
+        regardless of either engine's internal voxel ordering."""
+        capacity = _round_up_bucket(len(coords))
+        grid = collate_to_grid(
+            [coords], [np.ones((len(coords), 1), np.float32)], capacity
+        )
+        manager = (self._manager_for(
+            self._measure_ratios([coords], capacity))
+            if self.config.auto_level_caps else self.manager)
+        maps = manager.build(grid)
+        if np.asarray(maps.overflow).any():
+            raise RuntimeError("level capacity overflow in taps forward")
+        taps = self._extract_with_taps(params, grid, maps)
+        out = {"descriptor": np.asarray(taps["descriptor"])}
+        for name, lvl in self.TAP_LEVELS.items():
+            L = maps.levels[lvl]
+            valid = np.asarray(L.valid)
+            out[name] = np.asarray(taps[name])[valid]
+            out[name + "_coords"] = np.asarray(L.coords)[valid]
+        return out
+
     def pad_clouds(self, coords_list: List[np.ndarray],
                    cap: Optional[int] = None):
         """[B, cap, 3] int32 + [B, cap] bool from a list of voxel grids.

@@ -61,13 +61,40 @@ def bn_scores(state_dict):
     return best, scores
 
 
-def activation_deltas(ckpt, perm, probe_npy, activations_npz):
-    """Layer-by-layer comparison against a dumped ME forward.
+_TAP_ALIASES = {"bottleneck": "out_s8", "feat": "out_s8"}
 
-    The dump is an npz whose keys name the reference tensors (any subset
-    of: out_s1, out_s2, out_s4, out_s8/bottleneck, final) with rows in
-    the voxel order of ``ME.utils.sparse_quantize`` on the probe cloud —
-    the same first-occurrence order our voxelizer produces.
+
+def _align_rows(ref_coords, our_arr, our_coords):
+    """Reorder our rows to the reference dump's voxel order by matching
+    coordinates. ME's per-level voxel order differs from our merge-sort
+    order at strides > 1, so per-layer comparison MUST align by
+    coordinate, not position. ``ref_coords`` may carry a leading batch
+    column (``tensor.C``); single-cloud dumps let us drop it."""
+    rc = np.asarray(ref_coords)
+    if rc.shape[1] == 4:  # [b, x, y, z] ME convention
+        rc = rc[:, 1:]
+    ours = {tuple(c): i for i, c in enumerate(np.asarray(our_coords))}
+    sel = np.full(len(rc), -1, np.int64)
+    for r, c in enumerate(rc):
+        sel[r] = ours.get(tuple(c), -1)
+    missing = int((sel < 0).sum())
+    matched = our_arr[np.maximum(sel, 0)]
+    return matched, sel >= 0, missing
+
+
+def activation_deltas(ckpt, perms, probe_npy, activations_npz):
+    """Layer-by-layer comparison against a dumped ME forward, for every
+    candidate offset permutation.
+
+    The dump is an npz whose keys name the reference forward's tensors
+    (``model/resunet.py:207-256``): any subset of out_s1, out_s2,
+    out_s4, out_s8 (alias: bottleneck/feat), out_s4_tr, out_s2_tr,
+    out_s1_tr, pre_normalize, final, descriptor — each optionally
+    accompanied by ``<key>_coords`` = the ME tensor's ``.C`` (with or
+    without the batch column) for row alignment. Without a _coords key
+    the rows are assumed to be in ``ME.utils.sparse_quantize``
+    first-occurrence order (true for stride-1 tensors; coarser levels
+    need coords).
     """
     import jax.numpy as jnp  # noqa: F401  (device init)
 
@@ -82,28 +109,51 @@ def activation_deltas(ckpt, perm, probe_npy, activations_npz):
     pts /= np.max(np.linalg.norm(pts, 2, 1))
     _, grid, _ = voxelize_np(pts, 0.03)
 
-    extractor = FeatureExtractor(ExtractorConfig(auto_level_caps=False))
-    params = {
-        "model": convert_resunet(ckpt["state_dict"], perm),
-        "embedding": convert_conv1_max_embedding(
-            ckpt["embedding_state_dict"]
-        ),
-    }
-    per_cloud, desc = extractor.extract_batch_np(params, [grid])
-    ours = {"final": per_cloud[0], "descriptor": np.asarray(desc[0])}
-
+    extractor = FeatureExtractor(ExtractorConfig())
     ref = np.load(activations_npz)
-    print("\n== 2. Activation deltas vs reference dump")
-    for key in ref.files:
-        if key not in ours:
-            print(f"  {key:12s} (no counterpart computed — skipped)")
-            continue
-        a, b = ours[key], ref[key]
-        if a.shape != b.shape:
-            print(f"  {key:12s} SHAPE MISMATCH ours={a.shape} ref={b.shape}")
-            continue
-        d = np.abs(a - b)
-        print(f"  {key:12s} max|Δ|={d.max():.3e}  mean|Δ|={d.mean():.3e}")
+    emb = convert_conv1_max_embedding(ckpt["embedding_state_dict"])
+
+    print("\n== 2. Activation deltas vs reference dump "
+          f"({len(perms)} candidate permutations)")
+    summary = {}
+    for perm in perms:
+        params = {
+            "model": convert_resunet(ckpt["state_dict"], perm),
+            "embedding": emb,
+        }
+        ours = extractor.extract_taps_np(params, grid)
+        print(f"  -- permutation {perm}")
+        worst = 0.0
+        for key in ref.files:
+            if key.endswith("_coords"):
+                continue
+            name = _TAP_ALIASES.get(key, key)
+            if name not in ours:
+                print(f"  {key:14s} (not a known tap — skipped)")
+                continue
+            a, b = ours[name], np.asarray(ref[key])
+            if key + "_coords" in ref.files:
+                a, okm, miss = _align_rows(
+                    np.asarray(ref[key + "_coords"]), a,
+                    ours[name + "_coords"],
+                )
+            else:
+                okm = np.ones(len(b), bool)
+                miss = 0
+            if a.shape != b.shape:
+                print(f"  {key:14s} SHAPE MISMATCH ours={a.shape} "
+                      f"ref={b.shape}")
+                continue
+            d = np.abs(a - b)[okm]
+            tag = f" ({miss} unmatched rows)" if miss else ""
+            print(f"  {key:14s} max|Δ|={d.max():.3e}  "
+                  f"mean|Δ|={d.mean():.3e}{tag}")
+            worst = max(worst, float(d.max()))
+        summary[perm] = worst
+    best = min(summary, key=summary.get)
+    print(f"  -> best permutation by worst-layer max|Δ|: {best} "
+          f"({summary[best]:.3e})")
+    return summary
 
 
 def end_metrics(args, candidates):
@@ -187,7 +237,7 @@ def main():
     best, scores = bn_scores(ckpt["state_dict"])
 
     if args.activations_npz and args.probe_npy:
-        activation_deltas(ckpt, best, args.probe_npy,
+        activation_deltas(ckpt, list(scores.keys()), args.probe_npy,
                           args.activations_npz)
 
     if args.shapenet_pc15k_root and args.scan2cad_pc_root:
