@@ -346,3 +346,173 @@ def sector_knn_sorted_pallas(F0, F1_sorted, sector_sorted,
         interpret=interpret,
     )(f0, f1t, f1sq, secmask, bitmap)
     return idx[:n0], ok[:n0].astype(bool)
+
+
+def _kernel_slab(num_sectors, k, wp, f0_ref, f1t_ref, f1sq_ref,
+                 vmask_ref, idx_ref, ok_ref, val_ref):
+    """Equal-width sector slabs: extraction scans [T, wp] per sector.
+
+    The targets arrive pre-scattered into ``num_sectors`` slabs of
+    static width ``wp`` (columns [s*wp, (s+1)*wp) hold sector s's
+    members; ``vmask`` marks occupied slots). Each of the K*k argmin
+    extractions then scans wp columns instead of N — the win over
+    ``_kernel`` whose every pass is full-width. Unlike the chunk-
+    skipping variant (measured 2x slower: 512-wide ``pl.when`` blocks),
+    slabs are STATIC full-vector slices with zero per-block control
+    overhead. Winner VALUES are emitted (one extra [T, wp] pass each)
+    so the caller can derive the exact global top-k by merging the
+    K*k per-sector candidates — sectors partition the valid targets."""
+    f0 = f0_ref[:]                      # [T, D]
+    f1t = f1t_ref[:]                    # [D, S*wp]
+    n = f1t.shape[1]
+    t = f0.shape[0]
+
+    f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)
+    d2 = f0sq + f1sq_ref[0, :].reshape(1, n) - 2.0 * jnp.dot(
+        f0, f1t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                   # [T, S*wp]
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, wp), 1)
+    for s in range(num_sectors):
+        sl = slice(s * wp, (s + 1) * wp)
+        m = vmask_ref[0, sl].reshape(1, wp)
+        ds = jnp.where(m > 0.5, d2[:, sl], _BIG)
+        cnt = jnp.sum(m)
+        for j in range(k):
+            v = jnp.min(ds, axis=1)
+            idx = jnp.argmin(ds, axis=1).astype(jnp.int32)
+            idx_ref[:, s, j] = idx + s * wp
+            val_ref[:, s, j] = v
+            ok_ref[:, s, j] = jnp.broadcast_to(
+                (cnt > j).astype(jnp.int32), (t,)
+            )
+            ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("num_sectors", "k", "tile", "alpha",
+                                   "interpret"))
+def slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
+                           v1=None, tile: int = 64, alpha: float = 1.5,
+                           interpret: bool = False):
+    """Per-sector + global top-k via equal-width sector slabs.
+
+    Returns ``(idx [N0, S+1, k], ok [N0, S+1, k])`` — slot 0 is the
+    GLOBAL top-k (merged exactly from the per-sector candidates), slots
+    1..S per-sector — the ``include_global`` contract of
+    ``sector_knn_pallas``, at ~alpha/ (S+1) of its extraction-pass cost.
+
+    Targets are scattered into S slabs of width ``round_up(alpha*N/S)``.
+    A sector larger than its slab cannot fit: ``lax.cond`` falls back to
+    the full-width fused kernel (bit-identical contract), so results
+    are exact for every input. KMeans sector cuts accepted by the
+    ratio-variance criterion are near-balanced, so the slab path is the
+    one that runs in practice.
+    """
+    n0, d = F0.shape
+    n1 = F1.shape[0]
+    S = num_sectors
+    wp = _round_up(max(int(alpha * n1 / S), 128), 128)
+    v1b = jnp.ones((n1,), bool) if v1 is None else v1
+    key_sec = jnp.where(v1b, sector1.astype(jnp.int32), S)
+    _, order = jax.lax.sort(
+        (key_sec, jnp.arange(n1, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    sec_sorted = key_sec[order]
+    counts = jnp.sum(
+        key_sec[None, :] == jnp.arange(S)[:, None], axis=1
+    )                                            # [S]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    rank = jnp.arange(n1, dtype=jnp.int32)
+    in_slab = sec_sorted < S
+    pos = rank - jnp.where(in_slab, starts[jnp.minimum(sec_sorted, S - 1)],
+                           0)
+    overflow = jnp.any(counts > wp)
+    # invalid rows and (harmless under the cond fallback) overflow rows
+    # land on a trash row past the slabs
+    dest = jnp.where(
+        in_slab & (pos < wp), sec_sorted * wp + jnp.minimum(pos, wp - 1),
+        S * wp,
+    )
+    F1_slab = jnp.zeros((S * wp + 1, d), F1.dtype).at[dest].set(F1[order])
+    vmask = jnp.zeros((S * wp + 1,), jnp.float32).at[dest].set(
+        in_slab.astype(jnp.float32)
+    )
+    back = jnp.zeros((S * wp + 1,), jnp.int32).at[dest].set(order)
+    F1_slab, vmask, back = F1_slab[:-1], vmask[:-1], back[:-1]
+
+    def slab_path(_):
+        pad0 = (-n0) % tile
+        f0 = jnp.pad(F0.astype(jnp.float32), ((0, pad0), (0, 0)))
+        f1t = F1_slab.astype(jnp.float32).T
+        f1sq = jnp.sum(f1t * f1t, axis=0)[None, :]
+        n_tiles = (n0 + pad0) // tile
+        need = (8 * tile + 32) * S * wp * 4
+        params = None
+        if need > 14 * 1024 * 1024:
+            params = pltpu.CompilerParams(
+                vmem_limit_bytes=min(2 * need, 100 * 1024 * 1024)
+            )
+        idx_s, ok_s, val_s = pl.pallas_call(
+            partial(_kernel_slab, S, k, wp),
+            compiler_params=params,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, S * wp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S * wp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S * wp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile, S, k), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, S, k), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, S, k), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n0 + pad0, S, k), jnp.int32),
+                jax.ShapeDtypeStruct((n0 + pad0, S, k), jnp.int32),
+                jax.ShapeDtypeStruct((n0 + pad0, S, k), jnp.float32),
+            ),
+            interpret=interpret,
+        )(f0, f1t, f1sq, vmask[None, :])
+        idx_s, ok_s, val_s = idx_s[:n0], ok_s[:n0], val_s[:n0]
+        sec_idx = back[idx_s]                    # original row ids
+        # exact global top-k: merge the S*k per-sector candidates
+        # (sectors partition the valid targets, so the global top-k is
+        # a subset of them)
+        flat_val = jnp.where(ok_s > 0, val_s, _BIG).reshape(n0, S * k)
+        flat_idx = sec_idx.reshape(n0, S * k)
+        from corsair_tpu.ops.knn import small_topk_min
+
+        posk, valk = small_topk_min(flat_val, k)
+        g_idx = jnp.take_along_axis(flat_idx, posk, axis=1)
+        g_ok = valk < _BIG / 2
+        idx_all = jnp.concatenate([g_idx[:, None, :], sec_idx], axis=1)
+        ok_all = jnp.concatenate(
+            [g_ok[:, None, :].astype(jnp.int32), ok_s], axis=1
+        )
+        return idx_all, ok_all
+
+    def full_path(_):
+        idx_f, ok_f = sector_knn_pallas(
+            F0, F1, sector1, num_sectors, k, v1=v1,
+            tile=tile, interpret=interpret, include_global=True,
+        )
+        return idx_f, ok_f.astype(jnp.int32)
+
+    idx, ok = jax.lax.cond(overflow, full_path, slab_path, operand=None)
+    return idx, ok.astype(bool)
