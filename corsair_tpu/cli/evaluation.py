@@ -60,6 +60,12 @@ class Config:
     # reproduce the reference's exact eval path (triplet mining with
     # bad-scan substitution) instead of the mining-free eval items
     strict_protocol: bool = False
+    # host prefetch threads preparing the NEXT item batch while the
+    # device extracts the current one (the reference's
+    # DataLoader(num_workers=…), evaluation.py:161-174). Strict-protocol
+    # runs force 1 ordered worker: mining consumes the global np.random
+    # stream, and serial order is part of the protocol.
+    prefetch_workers: int = 2
 
     def __post_init__(self):
         if self.category not in CATIDS:
@@ -92,6 +98,7 @@ def build_parser(script_dir: str) -> argparse.ArgumentParser:
     p.add_argument("--config-dir", type=str, default=None)
     p.add_argument("--limit-scans", type=int, default=0)
     p.add_argument("--strict-protocol", action="store_true")
+    p.add_argument("--prefetch-workers", type=int, default=2)
     return p
 
 
@@ -168,12 +175,18 @@ class App:
 
     # ---------------------------------------------------------------- A/B
     def extract_library(self):
+        from corsair_tpu.data.prefetch import prefetch_item_batches
+
         self.logger.log("Updating global feature in the CAD library")
         lib_outputs, lib_origins, lib_feats, lib_Ts = [], [], [], []
         bs = self.config.batch_size
-        for s in range(0, len(self.cad_lib), bs):
-            items = [self.cad_lib[i]
-                     for i in range(s, min(s + bs, len(self.cad_lib)))]
+        n_lib = len(self.cad_lib)
+        batches = [range(s, min(s + bs, n_lib))
+                   for s in range(0, n_lib, bs)]
+        for items in prefetch_item_batches(
+            self.cad_lib.__getitem__, batches,
+            workers=self.config.prefetch_workers,
+        ):
             coords = [it["coord"].astype(np.int32) for it in items]
             per_cloud, desc = self.extractor.extract_batch_np(
                 self.params, coords
@@ -190,13 +203,20 @@ class App:
         self.lib_Ts = np.stack(lib_Ts).astype(np.float32)
 
     def extract_scans(self):
+        from corsair_tpu.data.prefetch import prefetch_item_batches
+
         self.logger.log("Updating global feature in the Scan2CAD dataset")
         outputs, origins, feats, Ts, best_idx, best_sym = [], [], [], [], [], []
         bs = self.config.batch_size
         n = len(self.dataset)
-        for s in range(0, n, bs):
-            items = [self.dataset.eval_item(i)
-                     for i in range(s, min(s + bs, n))]
+        batches = [range(s, min(s + bs, n)) for s in range(0, n, bs)]
+        # strict mining consumes the global np.random stream: one
+        # ordered worker keeps it bit-identical to the serial run
+        workers = (1 if self.config.strict_protocol
+                   else self.config.prefetch_workers)
+        for items in prefetch_item_batches(
+            self.dataset.eval_item, batches, workers=workers,
+        ):
             coords = [it["coord"].astype(np.int32) for it in items]
             per_cloud, desc = self.extractor.extract_batch_np(
                 self.params, coords
