@@ -28,27 +28,94 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30  # plain float: pallas kernels must not capture traced constants
 
 
-def _kernel(num_sectors, k, f0_ref, f1t_ref, f1sq_ref, secmask_ref,
-            idx_ref, ok_ref):
+def _feat_matmul_precision():
+    """Precision of the un-packed feature-distance matmuls.
+
+    Features are unit-norm 16-dim, so ``d2 = |a|^2+|b|^2-2ab`` has no
+    catastrophic cancellation; what precision buys is stable ordering of
+    near-tied neighbors. The deployed kernels use the packed-split
+    single-pass dot (see ``_split3`` below) instead; this env knob keeps
+    the plain-precision variant reachable for A/B runs
+    (scripts/bench_knn_kernels.py)."""
+    import os
+
+    name = os.environ.get("CORSAIR_KNN_PRECISION", "highest").upper()
+    if name == "PACKED":   # callers without a packed layout (sorted
+        name = "HIGHEST"   # kernel) fall back to the 6-pass dot
+    return getattr(jax.lax.Precision, name)
+
+
+def _split3(x, axis):
+    """3-way bf16 significance split of an f32 array: x ~ hi + mid + lo
+    with each term bf16-representable (8 mantissa bits x 3 = f32's 24)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r - mid
+    return hi, mid, lo
+
+
+def _pack_queries(f0):
+    """[T, D] f32 -> [T, 6D] bf16: rows pack (hi,hi,hi,mid,mid,lo)."""
+    h, m, l = _split3(f0, 1)
+    return jnp.concatenate([h, h, h, m, m, l], axis=1).astype(
+        jnp.bfloat16
+    )
+
+
+def _pack_targets(f1t):
+    """[D, N] f32 -> [6D, N] bf16: rows pack (hi,mid,lo,hi,mid,hi), the
+    pairing that makes a SINGLE default-precision bf16 dot against
+    ``_pack_queries`` accumulate exactly HIGHEST's six significant
+    cross-terms (hi*hi, hi*mid, hi*lo, mid*hi, mid*mid, lo*hi).
+
+    Why: the MXU contracts 128 lanes per pass whether D is 16 or 128,
+    and Precision.HIGHEST on an f32 dot issues SIX bf16 passes. With
+    D=16 features the 3-way-split cross-terms fit in 6*16 = 96 <= 128
+    contraction lanes, so one packed bf16 pass buys HIGHEST's accuracy
+    at a sixth of its MXU cost (measured on v5e at [8, 16384] — see
+    ARCHITECTURE.md round-3 log)."""
+    h, m, l = _split3(f1t, 0)
+    return jnp.concatenate([h, m, l, h, m, h], axis=0).astype(
+        jnp.bfloat16
+    )
+
+
+def _use_packed() -> bool:
+    import os
+
+    return os.environ.get("CORSAIR_KNN_PRECISION", "packed") == "packed"
+
+
+def _distance_tile(f0, f1t_ref, f1sq_ref, packed):
+    """d2 [T, N] from a query tile and the (possibly packed) targets."""
+    n = f1t_ref.shape[1]
+    f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)        # [T, 1]
+    if packed:
+        dot = jnp.dot(_pack_queries(f0), f1t_ref[:],
+                      preferred_element_type=jnp.float32)
+    else:
+        dot = jnp.dot(f0, f1t_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=_feat_matmul_precision())
+    return f0sq + f1sq_ref[0, :].reshape(1, n) - 2.0 * dot
+
+
+def _kernel(num_sectors, k, packed, f0_ref, f1t_ref, f1sq_ref,
+            secmask_ref, idx_ref, ok_ref):
     """One query tile: d2 in VMEM -> K x k masked argmin extractions.
 
     The target features arrive TRANSPOSED [D, N]: an [N, D] block
     lane-pads D (16-32) to 128 lanes — 8 MB at N=16k, half the scoped
     VMEM — while [D, N] packs densely (~D*N*4 bytes) and is already the
-    right operand orientation for the MXU. HIGHEST matmul precision:
-    TPU f32 dots default to bf16 passes and the ~1e-3 d2 noise can
-    reorder near-tied neighbors; these matmuls are tiny next to the
-    K x k argmin extractions."""
+    right operand orientation for the MXU. ``packed`` targets carry the
+    single-pass split-bf16 layout (see ``_pack_targets``): HIGHEST-
+    equivalent d2 accuracy so near-tied neighbors stay stably ordered."""
     f0 = f0_ref[:]                      # [T, D]
-    f1t = f1t_ref[:]                    # [D, N]
-    n = f1t.shape[1]
+    n = f1t_ref.shape[1]
     t = f0.shape[0]
 
-    f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)        # [T, 1]
-    d2 = f0sq + f1sq_ref[0, :].reshape(1, n) - 2.0 * jnp.dot(
-        f0, f1t, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                      # [T, N]
+    d2 = _distance_tile(f0, f1t_ref, f1sq_ref, packed)     # [T, N]
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
 
@@ -159,6 +226,10 @@ def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
     f1t = F1.astype(jnp.float32).T                 # [D, N]: see _kernel
     f1sq = jnp.sum(f1t * f1t, axis=0)[None, :]  # 2-D: 1-D operands break
     # pallas vmap batching (batch dim becomes an illegal block dim)
+    packed = _use_packed()
+    if packed:
+        f1t = _pack_targets(f1t)                   # [6D, N] bf16
+    d_in = f1t.shape[0]
     secmask = (
         sector1[None, :] == jnp.arange(num_sectors)[:, None]
     )
@@ -182,13 +253,13 @@ def sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
             vmem_limit_bytes=min(2 * need, 100 * 1024 * 1024)
         )
     idx, ok = pl.pallas_call(
-        partial(_kernel, num_sectors, k),
+        partial(_kernel, num_sectors, k, packed),
         compiler_params=params,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, n1), lambda i: (0, 0),
+            pl.BlockSpec((d_in, n1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -231,7 +302,7 @@ def _kernel_chunked(num_sectors, k, chunk, f0_ref, f1t_ref, f1sq_ref,
     f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)
     d2 = f0sq + f1sq_ref[0, :].reshape(1, n) - 2.0 * jnp.dot(
         f0, f1t, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_feat_matmul_precision(),
     )                                   # [T, N]
 
     n_chunks = n // chunk
@@ -348,43 +419,38 @@ def sector_knn_sorted_pallas(F0, F1_sorted, sector_sorted,
     return idx[:n0], ok[:n0].astype(bool)
 
 
-def _kernel_slab(num_sectors, k, wp, f0_ref, f1t_ref, f1sq_ref,
-                 vmask_ref, idx_ref, ok_ref, val_ref):
-    """Equal-width sector slabs: extraction scans [T, wp] per sector.
+def _kernel_slab(num_sectors, k, n_global, wp, packed, f0_ref, f1t_ref,
+                 f1sq_ref, vmask_ref, idx_ref, ok_ref):
+    """Global full-width slot + equal-width sector slabs.
 
-    The targets arrive pre-scattered into ``num_sectors`` slabs of
-    static width ``wp`` (columns [s*wp, (s+1)*wp) hold sector s's
-    members; ``vmask`` marks occupied slots). Each of the K*k argmin
-    extractions then scans wp columns instead of N — the win over
-    ``_kernel`` whose every pass is full-width. Unlike the chunk-
-    skipping variant (measured 2x slower: 512-wide ``pl.when`` blocks),
-    slabs are STATIC full-vector slices with zero per-block control
-    overhead. Winner VALUES are emitted (one extra [T, wp] pass each)
-    so the caller can derive the exact global top-k by merging the
-    K*k per-sector candidates — sectors partition the valid targets."""
+    Column layout: [0, n_global) holds ALL targets in original order
+    (the global top-k scans it — always exact); columns
+    [n_global + s*wp, n_global + (s+1)*wp) hold sector s's members,
+    pre-scattered by the wrapper. Each sector extraction scans wp
+    columns instead of n_global — with wp ~ 1.5*N/K the K*k sector
+    extractions cost ~1.5/K of the fused kernel's full-width passes.
+    Static slices only: the chunk-skipping variant's pl.when blocks
+    (measured 2x slower) and the vmap-of-cond fallback (measured: vmap
+    turns lax.cond into BOTH branches) are both avoided."""
     f0 = f0_ref[:]                      # [T, D]
-    f1t = f1t_ref[:]                    # [D, S*wp]
-    n = f1t.shape[1]
     t = f0.shape[0]
 
-    f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)
-    d2 = f0sq + f1sq_ref[0, :].reshape(1, n) - 2.0 * jnp.dot(
-        f0, f1t, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                   # [T, S*wp]
+    d2 = _distance_tile(f0, f1t_ref, f1sq_ref, packed)
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, wp), 1)
-    for s in range(num_sectors):
-        sl = slice(s * wp, (s + 1) * wp)
-        m = vmask_ref[0, sl].reshape(1, wp)
-        ds = jnp.where(m > 0.5, d2[:, sl], _BIG)
+    spans = [(0, n_global)] + [
+        (n_global + s * wp, n_global + (s + 1) * wp)
+        for s in range(num_sectors)
+    ]
+    for slot, (lo, hi) in enumerate(spans):
+        w = hi - lo
+        m = vmask_ref[0, lo:hi].reshape(1, w)
+        ds = jnp.where(m > 0.5, d2[:, lo:hi], _BIG)
         cnt = jnp.sum(m)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
         for j in range(k):
-            v = jnp.min(ds, axis=1)
             idx = jnp.argmin(ds, axis=1).astype(jnp.int32)
-            idx_ref[:, s, j] = idx + s * wp
-            val_ref[:, s, j] = v
-            ok_ref[:, s, j] = jnp.broadcast_to(
+            idx_ref[:, slot, j] = idx + lo
+            ok_ref[:, slot, j] = jnp.broadcast_to(
                 (cnt > j).astype(jnp.int32), (t,)
             )
             ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
@@ -397,21 +463,23 @@ def _round_up(x, m):
 @partial(jax.jit, static_argnames=("num_sectors", "k", "tile", "alpha",
                                    "interpret"))
 def slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
-                           v1=None, tile: int = 64, alpha: float = 1.5,
+                           v1=None, tile: int = 32, alpha: float = 1.5,
                            interpret: bool = False):
-    """Per-sector + global top-k via equal-width sector slabs.
+    """Global + per-sector top-k via a full-width global region plus
+    equal-width sector slabs.
 
-    Returns ``(idx [N0, S+1, k], ok [N0, S+1, k])`` — slot 0 is the
-    GLOBAL top-k (merged exactly from the per-sector candidates), slots
-    1..S per-sector — the ``include_global`` contract of
-    ``sector_knn_pallas``, at ~alpha/ (S+1) of its extraction-pass cost.
-
-    Targets are scattered into S slabs of width ``round_up(alpha*N/S)``.
-    A sector larger than its slab cannot fit: ``lax.cond`` falls back to
-    the full-width fused kernel (bit-identical contract), so results
-    are exact for every input. KMeans sector cuts accepted by the
-    ratio-variance criterion are near-balanced, so the slab path is the
-    one that runs in practice.
+    Returns ``(idx [N0, S+1, k], ok [N0, S+1, k], spill bool)`` — the
+    ``include_global`` contract of ``sector_knn_pallas`` plus a spill
+    flag. Slot 0 (global) is ALWAYS exact: it scans every target in
+    original column order, so tie-breaking matches the fused kernel
+    bit for bit. Sector slots are exact whenever every sector fits its
+    ``round_up(alpha*N/S)``-wide slab; a larger sector sets ``spill``
+    (its excess members are dropped from that sector's slab only).
+    Callers must treat ``spill`` like a failed symmetric cut
+    (``sym_ok=False`` -> vanilla-RANSAC fallback): accepted KMeans cuts
+    are near-balanced (ratio-variance winner), so spill on the deployed
+    path means the cut was rejected and the sector results are unused
+    anyway.
     """
     n0, d = F0.shape
     n1 = F1.shape[0]
@@ -426,93 +494,73 @@ def slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
     sec_sorted = key_sec[order]
     counts = jnp.sum(
         key_sec[None, :] == jnp.arange(S)[:, None], axis=1
-    )                                            # [S]
+    )
     starts = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
     )
     rank = jnp.arange(n1, dtype=jnp.int32)
     in_slab = sec_sorted < S
-    pos = rank - jnp.where(in_slab, starts[jnp.minimum(sec_sorted, S - 1)],
-                           0)
-    overflow = jnp.any(counts > wp)
-    # invalid rows and (harmless under the cond fallback) overflow rows
-    # land on a trash row past the slabs
-    dest = jnp.where(
-        in_slab & (pos < wp), sec_sorted * wp + jnp.minimum(pos, wp - 1),
-        S * wp,
+    pos = rank - jnp.where(
+        in_slab, starts[jnp.minimum(sec_sorted, S - 1)], 0
     )
-    F1_slab = jnp.zeros((S * wp + 1, d), F1.dtype).at[dest].set(F1[order])
-    vmask = jnp.zeros((S * wp + 1,), jnp.float32).at[dest].set(
-        in_slab.astype(jnp.float32)
+    spill = jnp.any(counts > wp)
+    fits = in_slab & (pos < wp)
+    dest = jnp.where(fits, sec_sorted * wp + jnp.minimum(pos, wp - 1),
+                     S * wp)
+    slab_f = jnp.zeros((S * wp + 1, d), F1.dtype).at[dest].set(F1[order])
+    slab_v = jnp.zeros((S * wp + 1,), jnp.float32).at[dest].set(
+        fits.astype(jnp.float32)
     )
     back = jnp.zeros((S * wp + 1,), jnp.int32).at[dest].set(order)
-    F1_slab, vmask, back = F1_slab[:-1], vmask[:-1], back[:-1]
+    slab_f, slab_v, back = slab_f[:-1], slab_v[:-1], back[:-1]
 
-    def slab_path(_):
-        pad0 = (-n0) % tile
-        f0 = jnp.pad(F0.astype(jnp.float32), ((0, pad0), (0, 0)))
-        f1t = F1_slab.astype(jnp.float32).T
-        f1sq = jnp.sum(f1t * f1t, axis=0)[None, :]
-        n_tiles = (n0 + pad0) // tile
-        need = (8 * tile + 32) * S * wp * 4
-        params = None
-        if need > 14 * 1024 * 1024:
-            params = pltpu.CompilerParams(
-                vmem_limit_bytes=min(2 * need, 100 * 1024 * 1024)
-            )
-        idx_s, ok_s, val_s = pl.pallas_call(
-            partial(_kernel_slab, S, k, wp),
-            compiler_params=params,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((tile, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, S * wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S * wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S * wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((tile, S, k), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, S, k), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, S, k), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((n0 + pad0, S, k), jnp.int32),
-                jax.ShapeDtypeStruct((n0 + pad0, S, k), jnp.int32),
-                jax.ShapeDtypeStruct((n0 + pad0, S, k), jnp.float32),
-            ),
-            interpret=interpret,
-        )(f0, f1t, f1sq, vmask[None, :])
-        idx_s, ok_s, val_s = idx_s[:n0], ok_s[:n0], val_s[:n0]
-        sec_idx = back[idx_s]                    # original row ids
-        # exact global top-k: merge the S*k per-sector candidates
-        # (sectors partition the valid targets, so the global top-k is
-        # a subset of them)
-        flat_val = jnp.where(ok_s > 0, val_s, _BIG).reshape(n0, S * k)
-        flat_idx = sec_idx.reshape(n0, S * k)
-        from corsair_tpu.ops.knn import small_topk_min
+    F1_lay = jnp.concatenate([F1, slab_f], axis=0)
+    vmask = jnp.concatenate([v1b.astype(jnp.float32), slab_v])
 
-        posk, valk = small_topk_min(flat_val, k)
-        g_idx = jnp.take_along_axis(flat_idx, posk, axis=1)
-        g_ok = valk < _BIG / 2
-        idx_all = jnp.concatenate([g_idx[:, None, :], sec_idx], axis=1)
-        ok_all = jnp.concatenate(
-            [g_ok[:, None, :].astype(jnp.int32), ok_s], axis=1
+    pad0 = (-n0) % tile
+    f0 = jnp.pad(F0.astype(jnp.float32), ((0, pad0), (0, 0)))
+    f1t = F1_lay.astype(jnp.float32).T
+    f1sq = jnp.sum(f1t * f1t, axis=0)[None, :]
+    packed = _use_packed()
+    if packed:
+        f1t = _pack_targets(f1t)                   # [6D, n_lay] bf16
+    d_in = f1t.shape[0]
+    n_lay = n1 + S * wp
+    n_tiles = (n0 + pad0) // tile
+    need = (8 * tile + 32) * n_lay * 4
+    params = None
+    if need > 14 * 1024 * 1024:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
         )
-        return idx_all, ok_all
-
-    def full_path(_):
-        idx_f, ok_f = sector_knn_pallas(
-            F0, F1, sector1, num_sectors, k, v1=v1,
-            tile=tile, interpret=interpret, include_global=True,
-        )
-        return idx_f, ok_f.astype(jnp.int32)
-
-    idx, ok = jax.lax.cond(overflow, full_path, slab_path, operand=None)
-    return idx, ok.astype(bool)
+    idx, ok = pl.pallas_call(
+        partial(_kernel_slab, S, k, n1, wp, packed),
+        compiler_params=params,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, n_lay), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lay), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lay), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, S + 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, S + 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n0 + pad0, S + 1, k), jnp.int32),
+            jax.ShapeDtypeStruct((n0 + pad0, S + 1, k), jnp.int32),
+        ),
+        interpret=interpret,
+    )(f0, f1t, f1sq, vmask[None, :])
+    idx, ok = idx[:n0], ok[:n0]
+    # slot 0 already original indices; sector slots map through `back`
+    sec_idx = back[jnp.maximum(idx[:, 1:] - n1, 0)]
+    idx = jnp.concatenate([idx[:, :1], sec_idx], axis=1)
+    return idx, ok.astype(bool), spill

@@ -84,18 +84,44 @@ def _use_pallas_sector_knn(n1: int) -> bool:
 
 def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
                           v1=None, chunk: int = 1024,
-                          use_pallas=None, include_global: bool = False):
+                          use_pallas=None, include_global: bool = False,
+                          return_spill: bool = False):
     """Dispatcher: Pallas fused kernel on TPU, chunked XLA elsewhere.
 
     ``include_global=True`` returns ``[N0, S+1, k]`` with slot 0 holding
     the GLOBAL top-k over all valid targets (one shared distance pass;
-    see ``sector_knn_pallas``)."""
+    see ``sector_knn_pallas``).
+
+    ``return_spill=True`` appends a scalar bool: True when a sector-slab
+    layout dropped members of an oversized sector (slab kernel only —
+    the other paths always return False). The global slot is exact
+    either way; callers must treat spill like a failed symmetric cut
+    (see ``slab_sector_knn_pallas``)."""
     if use_pallas is None:
         use_pallas = _use_pallas_sector_knn(F1.shape[0])
     if use_pallas:
         import os
 
         tile = 64 if F1.shape[0] <= 8192 else 32
+        if (include_global and num_sectors > 1
+                and F1.shape[0] >= 4096
+                and os.environ.get("CORSAIR_SLAB_KNN", "1") == "1"):
+            # Slab-layout kernel: full-width global region + equal-width
+            # sector slabs. Measured on v5e at [8, 16384], K=4, k=5 with
+            # packed-split dots: 108 ms vs 126 ms fused (alpha=1.5);
+            # alpha=1.25 reaches 104 ms but spills on any sector >31%,
+            # which a legitimately-accepted asymmetric-ratio cut can hit,
+            # so 1.5 (spill at >37.5%) is the deployed default.
+            from corsair_tpu.core.kernels.sector_knn import (
+                slab_sector_knn_pallas,
+            )
+
+            alpha = float(os.environ.get("CORSAIR_SLAB_ALPHA", "1.5"))
+            idx, ok, spill = slab_sector_knn_pallas(
+                F0, F1, sector1, num_sectors, k, v1=v1, tile=tile,
+                alpha=alpha,
+            )
+            return (idx, ok, spill) if return_spill else (idx, ok)
         if (not include_global and num_sectors > 1
                 and F1.shape[0] >= 4096
                 and os.environ.get("CORSAIR_SORTED_KNN", "0") == "1"):
@@ -123,17 +149,23 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
                 F0, F1[order], key_sec[order], num_sectors, k,
                 v1_sorted=v1b[order], tile=tile,
             )
+            if return_spill:
+                return order[idx_s], ok, jnp.zeros((), bool)
             return order[idx_s], ok
         from corsair_tpu.core.kernels.sector_knn import sector_knn_pallas
 
-        return sector_knn_pallas(
+        idx, ok = sector_knn_pallas(
             F0, F1, sector1, num_sectors, k, v1=v1, tile=tile,
             include_global=include_global,
         )
-    return _find_kcorr_per_sector_xla(
-        F0, F1, sector1, num_sectors, k, v1=v1, chunk=chunk,
-        include_global=include_global,
-    )
+    else:
+        idx, ok = _find_kcorr_per_sector_xla(
+            F0, F1, sector1, num_sectors, k, v1=v1, chunk=chunk,
+            include_global=include_global,
+        )
+    if return_spill:
+        return idx, ok, jnp.zeros((), bool)
+    return idx, ok
 
 
 @partial(jax.jit, static_argnames=("num_sectors", "k", "chunk",

@@ -47,8 +47,24 @@ class SymPoseConfig:
     rank_window: int = 50           # local_rank < 50, utils/symmetry.py:214
     center_dist_thresh: float = 0.15
     cluster_err_thresh: float = 0.15
-    kmeans_iters: int = 25
-    kmeans_restarts: int = 10
+    # KMeans budget per candidate. Measured on synthetic sym/asym
+    # clouds at bench shapes (scripts/study_symcut_budget.py + NOTES.md
+    # round-3 log): accept decisions and the winning partition are
+    # INSENSITIVE to restarts/iters — (100 cand, 4 restarts, 10 iters)
+    # decides identically to the reference-faithful (100, 10, 25) on
+    # all 32 study clouds (Lloyd on a 50-point window converges in a
+    # few iters). max_sample stays at the reference's 100: the study's
+    # acceptance test almost never rejects on synthetics, so the
+    # reject-side sensitivity to FEWER seed candidates is unmeasured
+    # and 100 is the only budget provably equivalent to the reference
+    # protocol (utils/symmetry.py:198-236, early-exit over <=100 seeds).
+    kmeans_iters: int = 10
+    kmeans_restarts: int = 4
+    # Sector-occupancy ratios (the candidate score, utils/symmetry.py
+    # :234-236) are estimated on this many valid points instead of all
+    # N: acceptance never reads them (centers + seed window only), so
+    # only near-tied winner selection can differ.
+    ratio_subsample: int = 2048
     ransac: RansacConfig = RansacConfig(num_hypotheses=4096, sample_size=10)
     # Fold the S+1 candidate RANSACs into one hypothesis/scoring stream
     # (ransac_correspondences_multi): one sampling draw, one batched
@@ -98,15 +114,38 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
     order = jnp.argsort(~valid)
     cand = order[raw % n_valid]  # random valid seed points
 
+    # ratio-score subsample (see SymPoseConfig.ratio_subsample): valid
+    # rows first, so row i of the subsample is valid iff i < n_valid
+    s_sub = min(config.ratio_subsample, n)
+    xyz_sub = xyz[order[:s_sub]]
+    sub_valid = jnp.arange(s_sub) < n_valid
+    n_sub = jnp.maximum(jnp.sum(sub_valid), 1)
+
     km_keys = jax.random.split(key_km, config.max_sample)
 
-    def one_candidate(seed_idx, km_key):
-        # feature-space neighborhood of the seed: top-W closest features
-        d = jnp.linalg.norm(feat - feat[seed_idx][None, :], axis=1)
-        d = jnp.where(valid, d, _BIG)
-        _, nn_idx = jax.lax.top_k(-d, W)
+    # Feature-space seed windows for ALL candidates in one [M, N]
+    # distance matmul: d2 = |s|^2 + |t|^2 - 2 s.t. The vmapped
+    # per-candidate broadcast form (norm(feat - feat[seed])) materializes
+    # [M, N, D] through HBM and measured 41 ms of the cut's 52 ms at
+    # [8, 16384] on v5e; the matmul form is ~1 ms. HIGHEST precision:
+    # the dot is tiny and near-tied window membership should stay
+    # stable (TPU f32 dots default to bf16 passes, ~1e-3 noise).
+    seed_f = feat[cand]                                     # [M, D]
+    d2_all = (
+        jnp.sum(seed_f * seed_f, axis=1)[:, None]
+        + jnp.sum(feat * feat, axis=1)[None, :]
+        - 2.0 * jnp.dot(seed_f, feat.T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    )                                                       # [M, N]
+    d2_all = jnp.where(valid[None, :], d2_all, _BIG)
+    _, nn_idx_all = jax.lax.top_k(-d2_all, W)               # [M, W]
+    nn_d2_all = jnp.take_along_axis(d2_all, nn_idx_all, axis=1)
+
+    def one_candidate(nn_idx, nn_d2, km_key):
+        # top-W feature-space neighborhood of this candidate's seed
         nns = xyz[nn_idx]
-        nns_valid = d[nn_idx] < _BIG / 2
+        nns_valid = nn_d2 < _BIG / 2
         centers, _, _ = kmeans_lloyd(
             km_key, nns, nns_valid, K,
             iters=config.kmeans_iters, n_init=config.kmeans_restarts,
@@ -116,9 +155,10 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
             centers[None, :, :] - centers[:, None, :], axis=2
         )
         cdist = cdist + jnp.eye(K) * 100.0
-        labels_all = kmeans_predict(centers, xyz)
+        labels_sub = kmeans_predict(centers, xyz_sub)
         ratios = jnp.array([
-            jnp.sum((labels_all == i) & valid) / n_valid for i in range(K)
+            jnp.sum((labels_sub == i) & sub_valid) / n_sub
+            for i in range(K)
         ])
         nn_label = kmeans_predict(centers, nns)
         err = jnp.array([
@@ -136,7 +176,9 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
         score = jnp.sqrt(jnp.var(ratios))
         return centers, accept, score
 
-    centers_all, accepts, scores = jax.vmap(one_candidate)(cand, km_keys)
+    centers_all, accepts, scores = jax.vmap(one_candidate)(
+        nn_idx_all, nn_d2_all, km_keys
+    )
     scores = jnp.where(accepts, scores, _BIG)
     best = jnp.argmin(scores)
     ok = accepts[best]
@@ -208,10 +250,15 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
     # per-sector top-k reused by every cyclic shift. Computing both from
     # one d2 tile saves the second full feature-distance kernel the
     # round-2 pipeline paid (VERDICT r2 weak #2).
-    all_idx, all_okm = find_kcorr_per_sector(
+    all_idx, all_okm, spill = find_kcorr_per_sector(
         baseF, posF, sec1, K, k_nn, v1=v1, chunk=chunk,
-        include_global=True,
+        include_global=True, return_spill=True,
     )  # [N0, K+1, k]
+    # slab-layout spill (an oversized sector's excess members were
+    # dropped from its slab): the sector candidates are incomplete, so
+    # take the protocol's own safe fallback — treat the cut as failed
+    # and use the (always-exact) vanilla global correspondences.
+    sym_ok = sym_ok & ~spill
     sec_idx, sec_okm = all_idx[:, 1:], all_okm[:, 1:]   # [N0, K, k]
 
     # vanilla RANSAC correspondences: every source point repeated k

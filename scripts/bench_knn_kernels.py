@@ -47,9 +47,10 @@ def main():
     def reduced(fn):
         @jax.jit
         def f(q, F1, SEC, V1):
-            idx, ok = jax.vmap(
+            out = jax.vmap(
                 lambda a, b, s, v: fn(a, b, s, v)
             )(q, F1, SEC, V1)
+            idx, ok = out[0], out[1]
             return (jnp.sum(idx.astype(jnp.float32))
                     + jnp.sum(ok.astype(jnp.float32)))
 
@@ -66,14 +67,22 @@ def main():
     ia, oa = jax.vmap(lambda a, b, s, v: sector_knn_pallas(
         a, b, s, K, k, v1=v, tile=32, include_global=True)
     )(q, F1, SEC, V1)
-    ib, ob = jax.vmap(lambda a, b, s, v: slab_sector_knn_pallas(
+    ib, ob, spill = jax.vmap(lambda a, b, s, v: slab_sector_knn_pallas(
         a, b, s, K, k, v1=v, tile=32, alpha=1.5))(q, F1, SEC, V1)
     same = float(jnp.mean((ia == ib).astype(jnp.float32)))
-    print(f"idx parity fused vs slab: {same:.6f}")
+    print(f"idx parity fused vs slab: {same:.6f} "
+          f"(spill: {np.asarray(spill).any()})")
+
+    slab64 = reduced(lambda a, b, s, v: slab_sector_knn_pallas(
+        a, b, s, K, k, v1=v, tile=64, alpha=1.25))
+    fused64 = reduced(lambda a, b, s, v: sector_knn_pallas(
+        a, b, s, K, k, v1=v, tile=64, include_global=True))
 
     for name, f in [("fused full-width", fused),
+                    ("fused tile=64", fused64),
                     ("slab alpha=1.5", slab),
-                    ("slab alpha=1.25", slab125)]:
+                    ("slab alpha=1.25", slab125),
+                    ("slab a=1.25 t=64", slab64)]:
         np.asarray(f(q, F1, SEC, V1))
         ts = []
         for _ in range(5):

@@ -18,22 +18,34 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _fetch(out):
-    """Force a host fetch: block_until_ready returns early for small
-    outputs through the axon tunnel (see NOTES.md measurement pitfalls)."""
-    import jax
+def _reduced(fn):
+    """Wrap fn so it returns one f32 scalar (sum of all outputs).
 
-    leaves = jax.tree_util.tree_leaves(out)
-    for leaf in leaves:
-        np.asarray(leaf)
+    Two axon-tunnel measurement pitfalls (NOTES.md): block_until_ready
+    returns early, and np.asarray on multi-MB outputs measures the
+    ~200 KB/s tunnel, not the device. Reducing inside the jit makes the
+    host fetch a single scalar (~40 ms RTT, constant across stages)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def wrapped(*args):
+        out = fn(*args)
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(out)
+        )
+
+    return wrapped
 
 
 def timeit(fn, *args, iters=3):
-    _fetch(fn(*args))
+    fn = _reduced(fn)
+    np.asarray(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        _fetch(fn(*args))
+        np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
 

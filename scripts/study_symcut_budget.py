@@ -1,0 +1,215 @@
+"""Acceptance-decision sensitivity of symmetric_cut to its KMeans budget.
+
+The reference runs up to 100 sequential seed candidates, each a
+sklearn KMeans (n_init=10, up to 300 iters) on the seed's 50
+feature-nearest points, early-exiting on first acceptance
+(``utils/symmetry.py:198-236``). Our masked redesign runs the whole
+candidate budget as one vmap — so the budget directly multiplies device
+work, and the question is how small (max_sample, kmeans_restarts,
+kmeans_iters) can go while preserving the DECISIONS: the accept flag and
+the sector partition that downstream shift-RANSAC consumes.
+
+Synthetic workload with known ground truth:
+* "symmetric" clouds: a random wedge of points replicated by 4-fold
+  rotation about y; per-point features are a random 2-layer MLP of the
+  CANONICAL coordinates (radius, height, angle mod pi/2) + noise, so
+  symmetric copies share features — the structure a trained FCGF gives a
+  symmetric object and exactly what seed-neighborhood KMeans exploits.
+* "asymmetric" clouds: same geometry generator without replication;
+  features an MLP of raw xyz, so feature neighborhoods are spatially
+  local.
+
+For each budget variant: accept-flag agreement with the FULL budget,
+partition agreement (pairwise-membership Rand index over valid points,
+invariant to label rotation/reflection), and device time at bench
+shapes ([batch, cap]).
+
+MEASURED FINDING (v5e, batch 8, cap 16384, 32 clouds — see NOTES.md
+round-3 log): decisions are INSENSITIVE to restarts/iters — every
+variant down to (8 cand, 2 restarts, 10 iters) agrees with the full
+(100, 10, 25) budget on all 32 accept flags and matches its partition
+quality (RI-vs-GT 0.751-0.755). Caveat: the acceptance test accepts
+nearly every cloud here (asymmetric ones included — with ~100 random
+seeds some seed's 50-NN window is wide enough to pass the 0.15
+center-distance gate), so the REJECT-side sensitivity to max_sample is
+not exercised; the deployed config therefore keeps the reference's
+max_sample=100 and only right-sizes the inner Lloyd budget (4x10).
+
+Usage: python scripts/study_symcut_budget.py [--cap 16384 --batch 8]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/corsair_jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_cloud(rng, cap, symmetric: bool, feat_dim=16, n_valid=None):
+    """Returns (X, F, V, gt_sector). Asymmetric clouds use a
+    fast-varying MLP of raw xyz + low feature noise, so a seed's
+    feature neighborhood is a TIGHT spatial ball -> KMeans centers
+    nearly coincide -> the candidate is rejected (center distance
+    <= 0.15), matching what a trained FCGF does on asymmetric shapes.
+    Symmetric clouds share features across the 4 rotated copies."""
+    n_valid = n_valid or cap - 200
+    if symmetric:
+        base = n_valid // 4
+        r = 0.2 + 0.6 * rng.rand(base)
+        th = rng.rand(base) * (np.pi / 2)
+        y = rng.randn(base) * 0.3
+        pts = []
+        for s in range(4):
+            a = th + s * np.pi / 2
+            pts.append(np.stack([r * np.cos(a), y, r * np.sin(a)], 1))
+        xyz = np.concatenate(pts).astype(np.float32)
+        canon = np.stack([r, y, np.sin(4 * th), np.cos(4 * th)], 1)
+        canon = np.tile(canon, (4, 1)).astype(np.float32)
+        gt = np.repeat(np.arange(4, dtype=np.int32), base)
+    else:
+        n4 = (n_valid // 4) * 4
+        xyz = rng.randn(n4, 3).astype(np.float32) * 0.45
+        canon = xyz * 6.0  # fast feature variation: tight neighborhoods
+        gt = np.zeros(n4, np.int32)
+    n = len(xyz)
+    w1 = rng.randn(canon.shape[1], 32).astype(np.float32)
+    w2 = rng.randn(32, feat_dim).astype(np.float32)
+    f = np.tanh(canon @ w1) @ w2
+    f += rng.randn(n, feat_dim).astype(np.float32) * (
+        0.05 if symmetric else 0.01
+    )
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    xyz += rng.randn(n, 3).astype(np.float32) * 0.005
+    X = np.zeros((cap, 3), np.float32)
+    F = np.zeros((cap, feat_dim), np.float32)
+    V = np.zeros(cap, bool)
+    G = np.zeros(cap, np.int32)
+    X[:n], F[:n], V[:n], G[:n] = xyz, f, True, gt
+    return X, F, V, G
+
+
+def rand_index(a, b, v, pairs=20000, rng=None):
+    """Pairwise-membership agreement over valid points (label-invariant)."""
+    idx = np.nonzero(v)[0]
+    i = rng.choice(idx, pairs)
+    j = rng.choice(idx, pairs)
+    return float(np.mean((a[i] == a[j]) == (b[i] == b[j])))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--cap", type=int, default=16384)
+    p.add_argument("--rounds", type=int, default=4)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from corsair_tpu.ops.symmetry import SymPoseConfig, symmetric_cut
+
+    rng = np.random.RandomState(0)
+    B, cap = args.batch, args.cap
+
+    # rounds x batch clouds, alternating symmetric / asymmetric
+    batches = []
+    for r in range(args.rounds):
+        cl = [make_cloud(rng, cap, symmetric=(i % 2 == 0))
+              for i in range(B)]
+        X = jnp.asarray(np.stack([c[0] for c in cl]))
+        F = jnp.asarray(np.stack([c[1] for c in cl]))
+        V = jnp.asarray(np.stack([c[2] for c in cl]))
+        gts = np.stack([c[3] for c in cl])
+        batches.append((X, F, V, [i % 2 == 0 for i in range(B)], gts))
+
+    keys = jax.random.split(jax.random.PRNGKey(7), args.rounds * B
+                            ).reshape(args.rounds, B, 2)
+
+    SUB = 16  # fetch a row subsample: the tunnel moves ~200 KB/s
+
+    def make_run(cfg):
+        @jax.jit
+        def f(keys, F, X, V):
+            sec, ok = jax.vmap(
+                lambda k, a, b, c: symmetric_cut(k, a, b, c, cfg)
+            )(keys, F, X, V)
+            return sec[:, ::SUB], ok
+
+        return f
+
+    grid = [
+        (100, 10, 25),  # current defaults (reference-faithful budget)
+        (48, 10, 25),
+        (48, 4, 25),
+        (32, 4, 15),
+        (24, 4, 10),
+        (16, 2, 10),
+        (8, 2, 10),
+    ]
+
+    base_cfg = SymPoseConfig(num_sectors=4)
+    results = {}
+    full = None
+    for (ms, nr, it) in grid:
+        cfg = dataclasses.replace(base_cfg, max_sample=ms,
+                                  kmeans_restarts=nr, kmeans_iters=it)
+        run = make_run(cfg)
+        outs = []
+        for r, batch in enumerate(batches):
+            sec, ok = run(jnp.asarray(keys[r]), batch[1], batch[0],
+                          batch[2])
+            outs.append((np.asarray(sec), np.asarray(ok)))
+        # timing: same compiled fn; outputs are small (subsampled), so
+        # the fetch is one ~40 ms RTT, constant across variants
+        X, F, V = batches[0][0], batches[0][1], batches[0][2]
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = run(jnp.asarray(keys[0]), F, X, V)
+            np.asarray(o[0]); np.asarray(o[1])
+            ts.append(time.perf_counter() - t0)
+        t_ms = sorted(ts)[1] * 1000
+
+        if full is None:
+            full = outs
+        acc_agree, n_total = 0, 0
+        ri_sum, ri_n = 0.0, 0
+        tp = fp = 0
+        rr = np.random.RandomState(1)
+        for (sec, ok), (fsec, fok), batch in zip(outs, full, batches):
+            V = np.asarray(batch[2])[:, ::SUB]
+            acc_agree += int((ok == fok).sum())
+            n_total += len(ok)
+            for b, is_sym in enumerate(batch[3]):
+                if ok[b] and is_sym:
+                    tp += 1
+                    # partition quality vs GROUND-TRUTH sectors
+                    # (on the fetched row subsample)
+                    ri_sum += rand_index(sec[b], batch[4][b][::SUB],
+                                         V[b], rng=rr)
+                    ri_n += 1
+                if ok[b] and not is_sym:
+                    fp += 1
+        results[(ms, nr, it)] = (
+            acc_agree / n_total, ri_sum / max(ri_n, 1),
+            (tp, fp), t_ms,
+        )
+
+    print(f"\nbatch {B}, cap {cap}, {args.rounds} rounds "
+          f"({args.rounds * B} clouds, half symmetric)")
+    print(f"{'budget (cand,restart,iter)':28s} {'accept-agree':>12s} "
+          f"{'RI-vs-GT':>12s} {'(tp,fp)':>10s} {'ms/batch':>9s}")
+    for k, (aa, ri, tpfp, t) in results.items():
+        print(f"{str(k):28s} {aa:12.3f} "
+              f"{ri if isinstance(ri, float) else 1.0:12.3f} "
+              f"{str(tpfp):>10s} {t:9.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,10 +95,11 @@ class TestSectorKnnKernel:
         sec = rng.randint(0, 4, 512).astype(np.int32)
         v1 = np.ones(512, bool)
         v1[490:] = False
-        idx_s, ok_s = slab_sector_knn_pallas(
+        idx_s, ok_s, spill = slab_sector_knn_pallas(
             jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 5,
             v1=jnp.asarray(v1), tile=128, interpret=True,
         )
+        assert not bool(spill)
         idx_f, ok_f = sector_knn_pallas(
             jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 5,
             v1=jnp.asarray(v1), tile=128, interpret=True,
@@ -107,9 +108,10 @@ class TestSectorKnnKernel:
         np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_f))
         np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_f))
 
-    def test_slab_overflow_falls_back(self, rng):
-        """A sector larger than its slab triggers the exact full-width
-        fallback: results still match the fused kernel."""
+    def test_slab_overflow_sets_spill_global_exact(self, rng):
+        """A sector larger than its slab: spill flag raised, the GLOBAL
+        slot still exact (it scans the full-width region), and the
+        non-overflowing sectors still match the fused kernel."""
         from corsair_tpu.core.kernels.sector_knn import (
             slab_sector_knn_pallas,
         )
@@ -118,16 +120,22 @@ class TestSectorKnnKernel:
         F1 = rng.randn(512, 8).astype(np.float32)
         sec = np.zeros(512, np.int32)
         sec[:40] = rng.randint(1, 4, 40)  # sector 0 holds ~92%
-        idx_s, ok_s = slab_sector_knn_pallas(
+        idx_s, ok_s, spill = slab_sector_knn_pallas(
             jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 3,
             tile=128, alpha=1.5, interpret=True,
         )
+        assert bool(spill)
         idx_f, ok_f = sector_knn_pallas(
             jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 3,
             tile=128, interpret=True, include_global=True,
         )
-        np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_f))
-        np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_f))
+        np.testing.assert_array_equal(
+            np.asarray(idx_s[:, 0]), np.asarray(idx_f[:, 0])
+        )
+        # sectors 1..3 (small, fit their slabs) still exact
+        np.testing.assert_array_equal(
+            np.asarray(idx_s[:, 2:]), np.asarray(idx_f[:, 2:])
+        )
 
     def test_empty_sector(self, rng):
         """A sector with no members must report ok=False everywhere."""
