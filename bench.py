@@ -44,6 +44,55 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 REFERENCE_BASELINE_PCLOUDS_PER_SEC = 1.0
 
+# v5e peaks (public spec): 197 TFLOP/s bf16 matmul (f32 operands run as
+# multi-pass bf16 on the MXU at a fraction of this — MFU below is vs the
+# bf16 ceiling, i.e. the number the chip could reach if we shipped bf16
+# weights), 819 GB/s HBM.
+PEAK_MXU_FLOPS = 197e12
+PEAK_HBM_GBPS = 819.0
+
+
+def extract_flops_bytes(b, cap, ratios, dtype_bytes=4,
+                        conv1_ksize=3):
+    """Launched conv FLOPs + a LOWER-BOUND HBM byte model for one
+    extract_padded batch of the deployed ResUNetBN2C.
+
+    FLOPs: 2*N*K*Cin*Cout per table conv over the level's LAUNCHED rows
+    (padded capacity — that compute runs whether rows are valid or not).
+    Bytes: gather reads (K*N*Cin) + output writes (N*Cout) only; the
+    materialized [N, K*Cin] intermediate and re-reads are not counted,
+    so achieved GB/s reported from this model understates true traffic.
+    """
+    n = [int(b * cap * r) for r in ratios]   # flat rows per level
+    ch = (32, 64, 128, 256)                  # ResUNetBN2C channels
+    tr = (64, 64, 64, 128)
+    k1 = conv1_ksize ** 3
+    layers = [
+        # (rows, K, Cin, Cout)
+        (n[0], k1, 1, ch[0]),                  # conv1
+        (n[0], 27, ch[0], ch[0]), (n[0], 27, ch[0], ch[0]),  # block1
+        (n[1], 27, ch[0], ch[1]),              # conv2 (down)
+        (n[1], 27, ch[1], ch[1]), (n[1], 27, ch[1], ch[1]),  # block2
+        (n[2], 27, ch[1], ch[2]),              # conv3
+        (n[2], 27, ch[2], ch[2]), (n[2], 27, ch[2], ch[2]),  # block3
+        (n[3], 27, ch[2], ch[3]),              # conv4
+        (n[3], 27, ch[3], ch[3]), (n[3], 27, ch[3], ch[3]),  # block4
+        (n[2], 27, ch[3], tr[3]),              # conv4_tr (up)
+        (n[2], 27, tr[3], tr[3]), (n[2], 27, tr[3], tr[3]),  # block4_tr
+        (n[1], 27, ch[2] + tr[3], tr[2]),      # conv3_tr
+        (n[1], 27, tr[2], tr[2]), (n[1], 27, tr[2], tr[2]),  # block3_tr
+        (n[0], 27, ch[1] + tr[2], tr[1]),      # conv2_tr
+        (n[0], 27, tr[1], tr[1]), (n[0], 27, tr[1], tr[1]),  # block2_tr
+        (n[0], 1, ch[0] + tr[1], tr[0]),       # conv1_tr (1x1)
+        (n[0], 1, tr[0], 16),                  # final (1x1)
+        (n[3], 1, ch[3], 1024),                # head conv 1x1
+    ]
+    flops = sum(2 * r * k * ci * co for r, k, ci, co in layers)
+    bytes_ = sum(
+        dtype_bytes * (r * k * ci + r * co) for r, k, ci, co in layers
+    )
+    return flops, bytes_
+
 # CORSAIR_BENCH_SMALL=1 reproduces the round-1 continuity workload
 # (16 queries x 16 CADs at ~7k voxels, cap 8192) for apples-to-apples
 # tracking of the per-change perf log in ARCHITECTURE.md.
@@ -117,9 +166,8 @@ def main():
 
     lib_c, lib_v = extractor.pad_clouds([c for c, _ in lib], CAP)
     q_c, q_v = extractor.pad_clouds([c for c, _ in queries], CAP)
-    manager = extractor._manager_for(
-        measured_ratios([c for c, _ in lib[:32] + queries[:32]], CAP)
-    )
+    ratios = measured_ratios([c for c, _ in lib[:32] + queries[:32]], CAP)
+    manager = extractor._manager_for(ratios)
 
     def pad_xyz(clouds):
         out = np.zeros((len(clouds), CAP, 3), np.float32)
@@ -210,6 +258,31 @@ def main():
     elapsed, phases = best
 
     value = N_QUERIES / elapsed
+
+    # Absolute anchors (VERDICT r2 missing #2): achieved MXU FLOP/s and
+    # a lower-bound HBM bandwidth for the extraction phase, against the
+    # chip's published peaks. See extract_flops_bytes for the model.
+    flops_b, bytes_b = extract_flops_bytes(
+        EXTRACT_BATCH, CAP, ratios, dtype_bytes=2 if dtype else 4
+    )
+    n_batches = -(-N_QUERIES // EXTRACT_BATCH)
+    t_ex = phases["extract_s"]
+    utilization = {
+        "conv_flops_per_batch": flops_b,
+        "extract_achieved_tflops": round(
+            flops_b * n_batches / t_ex / 1e12, 3
+        ),
+        "mfu_extract_vs_bf16_peak": round(
+            flops_b * n_batches / t_ex / PEAK_MXU_FLOPS, 4
+        ),
+        "extract_hbm_gbps_lower_bound": round(
+            bytes_b * n_batches / t_ex / 1e9, 1
+        ),
+        "hbm_utilization_lower_bound": round(
+            bytes_b * n_batches / t_ex / 1e9 / PEAK_HBM_GBPS, 4
+        ),
+    }
+
     print(json.dumps({
         "metric": "pclouds/sec (feat+retrieval+sym-RANSAC, protocol scale)",
         "value": round(value, 3),
@@ -221,6 +294,7 @@ def main():
         ),
         "vs_baseline_is_estimate": True,
         "phases": {k: round(v, 3) for k, v in phases.items()},
+        "utilization": utilization,
         "library_extract_s": round(t_library, 3),
         "workload": {
             "n_queries": N_QUERIES, "n_lib": N_LIB, "n_pts": N_PTS,
