@@ -38,7 +38,7 @@ def _cloud_grid(coords, valid):
     )
 
 
-def dryrun_inference(n_devices: int, cap: int = 128, seed: int = 0):
+def dryrun_inference(n_devices: int, cap: int = 2048, seed: int = 0):
     """The deployed pipeline on an n-device mesh: sharded feature
     extraction -> retrieval descriptors -> ``register_pairs(mesh=...)``
     -> RRE/RTE metrics, asserting parity with the single-device result
@@ -94,11 +94,15 @@ def dryrun_inference(n_devices: int, cap: int = 128, seed: int = 0):
              for i in range(B)]
     cad_idx = [(i + 1) % B for i in range(B)]
     syms = [1] * B
+    # Beyond-toy caps (VERDICT r2 next #3): 2048-voxel clouds and 512
+    # RANSAC hypotheses, so the sharded program's shapes exercise the
+    # same chunking/tiling decisions as the deployed scale while staying
+    # tractable on the virtual CPU mesh.
     cfg = SymPoseConfig(
-        k_nn=2, max_corr=0.4, max_sample=8, rank_window=16,
-        kmeans_iters=4, kmeans_restarts=2,
-        ransac=RansacConfig(num_hypotheses=64, sample_size=4,
-                            score_chunk=64, prescore_subset=256,
+        k_nn=3, max_corr=0.4, max_sample=16, rank_window=32,
+        kmeans_iters=6, kmeans_restarts=2,
+        ransac=RansacConfig(num_hypotheses=512, sample_size=10,
+                            score_chunk=128, prescore_subset=512,
                             finalists_per_chunk=8, max_corr_dist=0.4),
     )
 

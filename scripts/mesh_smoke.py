@@ -1,0 +1,130 @@
+"""Sharded pipeline through the REAL TPU kernels at bench caps.
+
+The 8-device CPU dryrun proves multi-device sharding semantics, but on
+the CPU backend every Pallas gate turns off, so it exercises the jnp
+fallback path only (VERDICT r2 missing #3). This smoke runs the same
+deployed sharded program — ``batched_extract`` + ``register_pairs(mesh=
+Mesh((1,), ("data",)))`` — on the actual TPU chip at bench capacities
+(cap 16384 voxels, 4096 RANSAC hypotheses, K=4 sectors), where the
+merge-join, sector-kNN, min-dist and ransac-score kernels are all live,
+and asserts parity with the unsharded single-device path.
+
+Writes one JSON line (also to logs/mesh_smoke_tpu.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/corsair_jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CAP = 16384
+N_PTS = 15000
+B = 8
+VOXEL = 0.03
+
+
+def make_cloud(rng):
+    pts = rng.randn(N_PTS, 3).astype(np.float32)
+    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+    pts *= 0.9 * (1.0 + rng.randn(N_PTS, 1).astype(np.float32) * 0.03)
+    grid = np.floor(pts / VOXEL).astype(np.int32)
+    _, first = np.unique(grid, axis=0, return_index=True)
+    keep = np.sort(first)
+    return grid[keep], pts[keep]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from corsair_tpu.eval.registration import register_pairs
+    from corsair_tpu.ops.ransac import RansacConfig
+    from corsair_tpu.ops.symmetry import SymPoseConfig
+    from corsair_tpu.parallel.mesh import batched_extract
+    from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+
+    backend = jax.default_backend()
+    assert backend != "cpu", (
+        "mesh_smoke must run on the TPU — the point is the Pallas path"
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+
+    rng = np.random.RandomState(0)
+    clouds = [make_cloud(rng) for _ in range(B)]
+
+    extractor = FeatureExtractor(ExtractorConfig())
+    params = extractor.init_params(jax.random.PRNGKey(0))
+    coords, valid = extractor.pad_clouds([c for c, _ in clouds], CAP)
+    coords, valid = jnp.asarray(coords), jnp.asarray(valid)
+
+    # --- extraction: sharded (vmapped device-built maps -> Pallas
+    # merge-join under the mesh) vs the unsharded deployed path
+    t0 = time.perf_counter()
+    feats_m, desc_m = batched_extract(extractor, params, coords, valid,
+                                      mesh)
+    desc_m_np = np.asarray(desc_m)
+    t_mesh_extract = time.perf_counter() - t0
+    feats_1, desc_1, ovf = extractor.extract_padded(params, coords, valid)
+    assert not np.asarray(ovf).any(), "capacity overflow"
+    d_desc = float(np.max(np.abs(desc_m_np - np.asarray(desc_1))))
+
+    # --- registration at bench caps: K=4, 4096 hypotheses, full
+    # symmetric-cut budget; sharded vs unsharded must agree exactly
+    # (same program, same keys)
+    q_feats = [np.asarray(feats_1[i])[np.asarray(valid[i])]
+               for i in range(B)]
+    q_xyz = [clouds[i][1][:CAP].astype(np.float32) for i in range(B)]
+    cad_idx = [(i + 1) % B for i in range(B)]
+    syms = [2] * B  # K=4 heavy path
+    cfg = SymPoseConfig(
+        k_nn=5, max_corr=0.2,
+        ransac=RansacConfig(num_hypotheses=4096, sample_size=10,
+                            max_corr_dist=0.2),
+    )
+
+    def run(mesh_arg):
+        return register_pairs(
+            jax.random.PRNGKey(7), q_feats, q_xyz, q_feats, q_xyz,
+            cad_idx, syms, cfg, batch_size=B, chunk=512, mesh=mesh_arg,
+        )
+
+    t0 = time.perf_counter()
+    res_m = run(mesh)
+    t_mesh_reg = time.perf_counter() - t0
+    res_1 = run(None)
+    d_T = float(np.max(np.abs(res_m.Ts_est_best - res_1.Ts_est_best)))
+    d_cd = float(np.max(np.abs(res_m.chamfer_dist_sym
+                               - res_1.chamfer_dist_sym)))
+
+    out = {
+        "backend": backend,
+        "mesh_devices": 1,
+        "cap": CAP,
+        "ransac_hypotheses": 4096,
+        "num_sectors": 4,
+        "desc_delta_mesh_vs_single": d_desc,
+        "pose_T_delta": d_T,
+        "chamfer_delta": d_cd,
+        "mesh_extract_s": round(t_mesh_extract, 3),
+        "mesh_register_s": round(t_mesh_reg, 3),
+        "ok": bool(d_desc < 1e-4 and d_T < 1e-3 and d_cd < 1e-5),
+    }
+    line = json.dumps(out)
+    print(line)
+    os.makedirs(os.path.join(os.path.dirname(__file__), "..", "logs"),
+                exist_ok=True)
+    with open(os.path.join(os.path.dirname(__file__), "..", "logs",
+                           "mesh_smoke_tpu.json"), "w") as f:
+        f.write(line + "\n")
+    assert out["ok"], out
+
+
+if __name__ == "__main__":
+    main()
