@@ -1,0 +1,108 @@
+"""Banded one-hot MXU conv vs the gather conv (interpret mode on CPU).
+
+The banded kernel replaces per-row XLA gathers with per-tile band DMAs
++ one-hot MXU selection (core/kernels/banded_conv.py). Its contract:
+bit-meaningful parity with ``sparse_conv`` whenever ``banded_plan``
+reports full coverage, and a detectable ``ok=False`` whenever any
+(group, tile) window exceeds the band — callers then fall back.
+Reference semantics: MinkowskiEngine's gather-GEMM-scatter consumed by
+model/resunet.py:207-256.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from corsair_tpu.core.kernels.banded_conv import (
+    banded_conv_pallas,
+    banded_plan,
+)
+from corsair_tpu.nn.layers import sparse_conv
+
+
+def _grouped_table(rng, n_in, n_out, k=27, jump=400, jitter=40,
+                   miss_frac=0.3):
+    """Monotone rows; dim-0-fastest grouped jumps like real layouts."""
+    base = np.sort(rng.randint(0, n_in, size=n_out)).astype(np.int64)
+    big = np.array([-jump, 0, jump])[np.arange(k) % 3]
+    small = rng.randint(-jitter, jitter, k)
+    t = np.stack([np.clip(base + b + s, 0, n_in)
+                  for b, s in zip(big, small)])
+    t[rng.rand(k, n_out) < miss_frac] = n_in
+    return t.astype(np.int32)
+
+
+@pytest.mark.parametrize("cin,cout", [(32, 32), (32, 64)])
+def test_banded_matches_gather(cin, cout):
+    rng = np.random.RandomState(3)
+    n_in, n_out, k = 1500, 1024, 27
+    table = jnp.asarray(_grouped_table(rng, n_in, n_out, k))
+    feats = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+    kernel = jnp.asarray(
+        (rng.randn(k, cin, cout) * 0.1).astype(np.float32)
+    )
+    starts, anyv, ok = banded_plan(table, n_in, 640)
+    assert bool(ok)
+    out_g = sparse_conv({"kernel": kernel}, feats, table)
+    out_b = banded_conv_pallas(feats, table, kernel, starts, anyv,
+                               band=640, interpret=True)
+    # both approximate the same f64 conv; interpret-mode CPU matmuls
+    # are f32-accurate so the banded result is the tighter one
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_g),
+                               atol=5e-4)
+
+
+def test_banded_exact_vs_f64_oracle():
+    rng = np.random.RandomState(4)
+    n_in, n_out, k, cin, cout = 1200, 512, 27, 32, 32
+    table_np = _grouped_table(rng, n_in, n_out, k)
+    feats = rng.randn(n_in, cin).astype(np.float32)
+    kernel = (rng.randn(k, cin, cout) * 0.1).astype(np.float32)
+    xp = np.concatenate(
+        [feats.astype(np.float64), np.zeros((1, cin))], 0
+    )
+    oracle = np.einsum("knc,kcd->nd", xp[table_np],
+                       kernel.astype(np.float64))
+    table = jnp.asarray(table_np)
+    starts, anyv, ok = banded_plan(table, n_in, 640)
+    assert bool(ok)
+    out = np.asarray(banded_conv_pallas(
+        jnp.asarray(feats), table, jnp.asarray(kernel), starts, anyv,
+        band=640, exact=True, interpret=True,
+    ))
+    scale = np.abs(oracle).max()
+    assert np.abs(out - oracle).max() / scale < 1e-6
+
+
+def test_plan_rejects_wide_windows():
+    rng = np.random.RandomState(5)
+    n_in, n_out = 4000, 512
+    # un-grouped random jumps blow past any 512-band after alignment
+    base = np.sort(rng.randint(0, n_in, size=n_out)).astype(np.int64)
+    t = np.stack([
+        np.clip(base + d, 0, n_in)
+        for d in rng.randint(-1800, 1800, 27)
+    ]).astype(np.int32)
+    _, _, ok = banded_plan(jnp.asarray(t), n_in, 512)
+    assert not bool(ok)
+
+
+def test_plan_and_kernel_handle_all_miss_tiles():
+    rng = np.random.RandomState(6)
+    n_in, n_out, k, cin, cout = 800, 512, 27, 32, 32
+    table_np = _grouped_table(rng, n_in, n_out, k, jump=150, jitter=20)
+    table_np[:, :256] = n_in          # first two tiles fully miss
+    table = jnp.asarray(table_np)
+    feats = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+    kernel = jnp.asarray(
+        (rng.randn(k, cin, cout) * 0.1).astype(np.float32)
+    )
+    starts, anyv, ok = banded_plan(table, n_in, 640)
+    assert bool(ok)
+    assert np.asarray(anyv)[:, :2].max() == 0
+    out_g = sparse_conv({"kernel": kernel}, feats, table)
+    out_b = banded_conv_pallas(feats, table, kernel, starts, anyv,
+                               band=640, interpret=True)
+    assert np.abs(np.asarray(out_b[:256])).max() == 0
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_g),
+                               atol=5e-4)
