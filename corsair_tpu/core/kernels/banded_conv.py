@@ -166,11 +166,10 @@ def _kernel(ngroups, kg, cin, band, tile, exact,
             )
 
 
-@partial(jax.jit,
-         static_argnames=("band", "tile", "exact", "interpret"))
 def banded_conv_pallas(feats, table, kernel, starts, any_valid,
                        band: int = 512, tile: int = TILE,
-                       exact: bool = True, interpret: bool = False):
+                       exact: bool = True,
+                       interpret: bool | None = None):
     """``out[i] = sum_k W[k] @ x[table[k, i]]`` via grouped banded
     one-hot MXU selection. Same contract as ``nn.layers.sparse_conv``
     (miss value == ``feats.shape[0]`` gathers a zero row); callers must
@@ -182,8 +181,60 @@ def banded_conv_pallas(feats, table, kernel, starts, any_valid,
     [G, N_out//tile] from ``banded_plan``. ``exact=True`` reproduces
     f32 selection bit-exactly via 3-plane bf16 splitting; False keeps
     a single bf16 plane (gather-path default-precision class, 3x
-    cheaper).
+    cheaper). ``interpret=None`` auto-selects Pallas interpret mode on
+    the CPU backend (no Mosaic there) so the deployed code path stays
+    testable off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _banded_conv_diff(feats, table, kernel, starts, any_valid,
+                             band, tile, exact, interpret)
+
+
+# Training support: pallas_call has no automatic derivative, so the
+# banded conv carries a custom VJP whose backward pass differentiates
+# the mathematically-identical gather formulation (XLA turns its
+# gather into the scatter-add transpose conv). exact=True makes the
+# primal bit-compatible with that formulation, so the gradients are
+# the true gradients of the deployed forward.
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _banded_conv_diff(feats, table, kernel, starts, any_valid,
+                      band, tile, exact, interpret):
+    return _banded_conv_jit(feats, table, kernel, starts, any_valid,
+                            band, tile, exact, interpret)
+
+
+def _banded_conv_fwd(feats, table, kernel, starts, any_valid,
+                     band, tile, exact, interpret):
+    out = _banded_conv_jit(feats, table, kernel, starts, any_valid,
+                           band, tile, exact, interpret)
+    return out, (feats, table, kernel, starts, any_valid)
+
+
+def _banded_conv_bwd(band, tile, exact, interpret, res, g):
+    feats, table, kernel, starts, any_valid = res
+
+    def gather_form(f, w):
+        x_pad = jnp.concatenate(
+            [f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0
+        )
+        return jnp.einsum("knc,kcd->nd", x_pad[table], w,
+                          preferred_element_type=jnp.float32)
+
+    _, vjp = jax.vjp(gather_form, feats, kernel)
+    d_feats, d_kernel = vjp(g)
+    f0 = jax.dtypes.float0
+    return (d_feats, np.zeros(table.shape, f0), d_kernel,
+            np.zeros(starts.shape, f0), np.zeros(any_valid.shape, f0))
+
+
+_banded_conv_diff.defvjp(_banded_conv_fwd, _banded_conv_bwd)
+
+
+@partial(jax.jit,
+         static_argnames=("band", "tile", "exact", "interpret"))
+def _banded_conv_jit(feats, table, kernel, starts, any_valid,
+                     band, tile, exact, interpret):
     n_in, cin = feats.shape
     k_real, n_out = table.shape
     cout = kernel.shape[2]

@@ -32,15 +32,43 @@ def _conv_fold() -> bool:
     return os.environ.get("CORSAIR_CONV_FOLD", "0") == "1"
 
 
-def sparse_conv(params, feats, table, compute_dtype=None):
+def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
     """Table-based sparse conv: ``out[i] = sum_k W[k] @ x[table[k, i]]``.
 
     ``params['kernel']``: [K, Cin, Cout]; ``feats``: [N_in, Cin];
     ``table``: [K, N_out] with miss value == N_in (gathers the zero row).
     Optional ``params['bias']``: [Cout]. ``compute_dtype=jnp.bfloat16``
     halves gather/matmul bandwidth on the MXU; accumulation stays f32.
+
+    ``plan`` (``(starts, any_valid, ok, band)`` from
+    ``nn.resunet.make_banded_plans``) routes through the banded one-hot
+    MXU kernel — 2.5-3.7x faster than the gather formulation and
+    f32-exact (core/kernels/banded_conv.py) — with a ``lax.cond``
+    fallback to the gather path when the per-batch coverage check
+    failed (unsorted layouts, oversized windows).
     """
     kernel = params["kernel"]
+    if plan is not None:
+        from corsair_tpu.core.kernels.banded_conv import (
+            banded_conv_pallas,
+        )
+
+        starts, anyv, ok, band = plan
+
+        def banded(f):
+            return banded_conv_pallas(
+                f, table, kernel, starts, anyv, band=band, exact=True
+            )
+
+        def gather(f):
+            return sparse_conv(
+                {"kernel": kernel}, f, table, compute_dtype
+            )
+
+        out = jax.lax.cond(ok, banded, gather, feats)
+        if "bias" in params:
+            out = out + params["bias"]
+        return out
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)

@@ -55,6 +55,12 @@ class ResUNetConfig:
     # bf16 conv compute (f32 accumulation + f32 norms/outputs): halves
     # conv gather/matmul bandwidth for production inference. None = f32.
     compute_dtype: object = None
+    # Banded one-hot MXU conv (core/kernels/banded_conv.py): base band
+    # width for self/up tables (down tables use 2x — their fine-level
+    # source windows are wider). 0 disables; nonzero routes every
+    # 27-offset conv through the banded kernel with a per-batch
+    # lax.cond fallback to the gather path when coverage fails.
+    banded_band: int = 0
 
 
 # CHANNELS / TR_CHANNELS per variant (model/resunet.py:283-333).
@@ -148,18 +154,53 @@ def init_params(key, cfg: ResUNetConfig):
     return p
 
 
+def make_banded_plans(maps: UNetMaps, band: int):
+    """Per-table banded-conv plans for ``forward`` (None entries =
+    gather path). Runs inside the forward jit — cheap reductions over
+    the tables — so coverage is re-checked per batch; ``sparse_conv``
+    falls back via ``lax.cond`` when a batch's layout doesn't band.
+    """
+    from corsair_tpu.core.kernels.banded_conv import (
+        NGROUPS,
+        TILE,
+        banded_plan,
+    )
+
+    def mk(table, n_in, b):
+        if table is None or b <= 0:
+            return None
+        k, n_out = table.shape
+        if n_out % TILE or k % NGROUPS or k < 9:
+            return None
+        starts, anyv, ok = banded_plan(table, n_in, b)
+        return (starts, anyv, ok, b)
+
+    L = maps.levels
+    plans = []
+    for lvl, Li in enumerate(L):
+        n_l = Li.valid.shape[0]
+        plans.append({
+            "self": mk(Li.self_table, n_l, band),
+            "down": (mk(Li.down_table, L[lvl - 1].valid.shape[0],
+                        2 * band) if lvl else None),
+            "up": mk(Li.up_table, n_l, band) if lvl else None,
+        })
+    return plans
+
+
 def _residual_block(params, feats, table, batch, valid, nb, norm_type,
                     training, stats_out=None, key_prefix="",
-                    compute_dtype=None):
+                    compute_dtype=None, plan=None):
     """conv(k3)->norm->relu->conv(k3)->norm->(+residual)->relu
     (``model/residual_block.py:57-73``)."""
     residual = feats
-    out = sparse_conv(params["conv1"], feats, table, compute_dtype)
+    out = sparse_conv(params["conv1"], feats, table, compute_dtype,
+                      plan)
     out = apply_norm(norm_type, params["norm1"], out, batch, valid, nb,
                      training=training, stats_out=stats_out,
                      stats_key=key_prefix + ".norm1")
     out = relu(out)
-    out = sparse_conv(params["conv2"], out, table, compute_dtype)
+    out = sparse_conv(params["conv2"], out, table, compute_dtype, plan)
     out = apply_norm(norm_type, params["norm2"], out, batch, valid, nb,
                      training=training, stats_out=stats_out,
                      stats_key=key_prefix + ".norm2")
@@ -190,6 +231,10 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
     L = maps.levels
     nb = grid.num_batches
     nt, bt = cfg.norm_type, cfg.block_norm_type
+    if cfg.banded_band:
+        P = make_banded_plans(maps, cfg.banded_band)
+    else:
+        P = [{"self": None, "down": None, "up": None} for _ in L]
 
     def norm(pname, feats, lvl):
         return apply_norm(nt, params[pname], feats, L[lvl].batch,
@@ -197,32 +242,36 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
                           stats_out=stats_out, stats_key=pname)
 
     # ---- encoder
-    out_s1 = sparse_conv(params["conv1"], grid.feats, L[0].self_table, cfg.compute_dtype)
+    out_s1 = sparse_conv(params["conv1"], grid.feats, L[0].self_table, cfg.compute_dtype, P[0]["self"])
     out_s1 = norm("norm1", out_s1, 0)
     out_s1 = _residual_block(params["block1"], out_s1, L[0].self_table,
                              L[0].batch, L[0].valid, nb, bt, training,
-                             stats_out, "block1", cfg.compute_dtype)
+                             stats_out, "block1", cfg.compute_dtype,
+                             P[0]["self"])
     out = relu(out_s1)
 
-    out_s2 = sparse_conv(params["conv2"], out, L[1].down_table, cfg.compute_dtype)
+    out_s2 = sparse_conv(params["conv2"], out, L[1].down_table, cfg.compute_dtype, P[1]["down"])
     out_s2 = norm("norm2", out_s2, 1)
     out_s2 = _residual_block(params["block2"], out_s2, L[1].self_table,
                              L[1].batch, L[1].valid, nb, bt, training,
-                             stats_out, "block2", cfg.compute_dtype)
+                             stats_out, "block2", cfg.compute_dtype,
+                             P[1]["self"])
     out = relu(out_s2)
 
-    out_s4 = sparse_conv(params["conv3"], out, L[2].down_table, cfg.compute_dtype)
+    out_s4 = sparse_conv(params["conv3"], out, L[2].down_table, cfg.compute_dtype, P[2]["down"])
     out_s4 = norm("norm3", out_s4, 2)
     out_s4 = _residual_block(params["block3"], out_s4, L[2].self_table,
                              L[2].batch, L[2].valid, nb, bt, training,
-                             stats_out, "block3", cfg.compute_dtype)
+                             stats_out, "block3", cfg.compute_dtype,
+                             P[2]["self"])
     out = relu(out_s4)
 
-    out_s8 = sparse_conv(params["conv4"], out, L[3].down_table, cfg.compute_dtype)
+    out_s8 = sparse_conv(params["conv4"], out, L[3].down_table, cfg.compute_dtype, P[3]["down"])
     out_s8 = norm("norm4", out_s8, 3)
     out_s8 = _residual_block(params["block4"], out_s8, L[3].self_table,
                              L[3].batch, L[3].valid, nb, bt, training,
-                             stats_out, "block4", cfg.compute_dtype)
+                             stats_out, "block4", cfg.compute_dtype,
+                             P[3]["self"])
     out = relu(out_s8)
 
     bottleneck = out_s8  # returned raw (model/resunet.py:230)
@@ -234,31 +283,34 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
         taps_out["out_s8"] = out_s8
 
     # ---- decoder
-    out = sparse_conv(params["conv4_tr"], out, L[3].up_table, cfg.compute_dtype)
+    out = sparse_conv(params["conv4_tr"], out, L[3].up_table, cfg.compute_dtype, P[3]["up"])
     out = norm("norm4_tr", out, 2)
     out = _residual_block(params["block4_tr"], out, L[2].self_table,
                           L[2].batch, L[2].valid, nb, bt, training,
-                          stats_out, "block4_tr", cfg.compute_dtype)
+                          stats_out, "block4_tr", cfg.compute_dtype,
+                             P[2]["self"])
     out = relu(out)
     if taps_out is not None:
         taps_out["out_s4_tr"] = out
     out = jnp.concatenate([out, out_s4], axis=1)  # ME.cat skip
 
-    out = sparse_conv(params["conv3_tr"], out, L[2].up_table, cfg.compute_dtype)
+    out = sparse_conv(params["conv3_tr"], out, L[2].up_table, cfg.compute_dtype, P[2]["up"])
     out = norm("norm3_tr", out, 1)
     out = _residual_block(params["block3_tr"], out, L[1].self_table,
                           L[1].batch, L[1].valid, nb, bt, training,
-                          stats_out, "block3_tr", cfg.compute_dtype)
+                          stats_out, "block3_tr", cfg.compute_dtype,
+                             P[1]["self"])
     out = relu(out)
     if taps_out is not None:
         taps_out["out_s2_tr"] = out
     out = jnp.concatenate([out, out_s2], axis=1)
 
-    out = sparse_conv(params["conv2_tr"], out, L[1].up_table, cfg.compute_dtype)
+    out = sparse_conv(params["conv2_tr"], out, L[1].up_table, cfg.compute_dtype, P[1]["up"])
     out = norm("norm2_tr", out, 0)
     out = _residual_block(params["block2_tr"], out, L[0].self_table,
                           L[0].batch, L[0].valid, nb, bt, training,
-                          stats_out, "block2_tr", cfg.compute_dtype)
+                          stats_out, "block2_tr", cfg.compute_dtype,
+                             P[0]["self"])
     out = relu(out)
     if taps_out is not None:
         taps_out["out_s1_tr"] = out
