@@ -102,7 +102,7 @@ N_LIB = 16 if _SMALL else 652  # 652 = chair library (configs/03001627_*)
 N_PTS = 8000 if _SMALL else 15000   # raw points (Reader first-N budget)
 CAP = 8192 if _SMALL else 16384     # voxel capacity at voxel 0.03
 EXTRACT_BATCH = 16
-REG_BATCH = 8
+REG_BATCH = int(os.environ.get("CORSAIR_REG_BATCH", "8"))
 VOXEL = 0.03
 
 
@@ -129,7 +129,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from corsair_tpu.eval.registration import _sym_pose_batch
+    from corsair_tpu.eval.registration import (
+        _cut_batch,
+        _sym_pose_batch_precut,
+    )
     from corsair_tpu.ops.ransac import RansacConfig
     from corsair_tpu.ops.symmetry import SymPoseConfig
     from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
@@ -219,6 +222,16 @@ def main():
               - 2.0 * q_desc @ lib_desc.T)
         return jnp.argmin(d2, axis=1)
 
+    # Registration caps mirror register_pairs (eval/registration.py:85):
+    # round the actual max voxel count up to 256 instead of running the
+    # whole registration at the extraction cap — the padded-row excess
+    # (~25% at these shapes) multiplies through every kNN/Chamfer pass.
+    def reg_cap(clouds):
+        return min(CAP, -(-max(len(c) for c, _ in clouds) // 256) * 256)
+
+    cap_q = reg_cap(queries)
+    cap_l = reg_cap(lib[:N_LIB])
+
     def run_once():
         phases = {}
         t0 = time.perf_counter()
@@ -230,15 +243,68 @@ def main():
         cad_idx = np.asarray(retrieve(q_desc))
         phases["retrieval_s"] = time.perf_counter() - t0
 
+        qf, qx, qv = (q_feats[:, :cap_q], q_xyz[:, :cap_q],
+                      q_v[:, :cap_q])
+        lf, lx, lv = (lib_feats[:, :cap_l], lib_xyz[:N_LIB, :cap_l],
+                      lib_v[:N_LIB, :cap_l])
+
         t0 = time.perf_counter()
         results = []
         keys = jax.random.split(jax.random.PRNGKey(1), N_QUERIES)
+        # Same dedup policy as register_pairs: precut pays only when
+        # retrieved CADs repeat enough (see eval/registration.py).
+        precut_default = (
+            "1" if len(np.unique(cad_idx)) <= 0.5 * N_QUERIES else "0"
+        )
+        if os.environ.get("CORSAIR_BENCH_PRECUT", precut_default) == "0":
+            from corsair_tpu.eval.registration import _sym_pose_batch
+
+            for s in range(0, N_QUERIES, REG_BATCH):
+                sl = slice(s, s + REG_BATCH)
+                lidx = cad_idx[sl]
+                results.append(_sym_pose_batch(
+                    keys[sl], qf[sl], qx[sl], qv[sl],
+                    lf[lidx], lx[lidx], lv[lidx],
+                    sym_cfg, 512,
+                ))
+            poses = [np.asarray(r[0]) for r in results]
+            phases["register_s"] = time.perf_counter() - t0
+            return poses, phases
+        # One symmetric cut per unique retrieved CAD (the deployed
+        # register_pairs precut path) instead of per pair.
+        uniq = np.unique(cad_idx)
+        CUT_BATCH = 32
+        n_u = -(-len(uniq) // CUT_BATCH) * CUT_BATCH
+        uniq_pad = np.concatenate(
+            [uniq, np.repeat(uniq[-1:], n_u - len(uniq))]
+        )
+        ckey = jax.random.PRNGKey(2)
+        fold_keys = jax.jit(
+            jax.vmap(lambda i: jax.random.fold_in(ckey, i))
+        )
+        secs, oks = [], []
+        for s in range(0, n_u, CUT_BATCH):
+            us = uniq_pad[s : s + CUT_BATCH]
+            bkeys = fold_keys(jnp.asarray(us))
+            sb, ob = _cut_batch(
+                bkeys, lf[us], lx[us], lv[us], sym_cfg
+            )
+            secs.append(sb)
+            oks.append(ob)
+        cut_sec = jnp.concatenate(secs)[: len(uniq)]
+        cut_ok = jnp.concatenate(oks)[: len(uniq)]
+        jax.block_until_ready(cut_ok)
+        phases["cut_precompute_s"] = time.perf_counter() - t0
+        phases["n_unique_cads"] = float(len(uniq))
+        cut_row = {int(c): r for r, c in enumerate(uniq)}
         for s in range(0, N_QUERIES, REG_BATCH):
             sl = slice(s, s + REG_BATCH)
             lidx = cad_idx[sl]
-            out = _sym_pose_batch(
-                keys[sl], q_feats[sl], q_xyz[sl], q_v[sl],
-                lib_feats[lidx], lib_xyz[lidx], lib_v[lidx],
+            rows = np.asarray([cut_row[int(i)] for i in lidx])
+            out = _sym_pose_batch_precut(
+                keys[sl], qf[sl], qx[sl], qv[sl],
+                lf[lidx], lx[lidx], lv[lidx],
+                cut_sec[rows], cut_ok[rows],
                 sym_cfg, 512,
             )
             results.append(out)

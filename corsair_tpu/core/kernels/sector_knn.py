@@ -420,7 +420,7 @@ def sector_knn_sorted_pallas(F0, F1_sorted, sector_sorted,
 
 
 def _kernel_slab(num_sectors, k, n_global, wp, packed, f0_ref, f1t_ref,
-                 f1sq_ref, vmask_ref, idx_ref, ok_ref):
+                 f1sq_ref, vmask_ref, scale_ref, idx_ref, ok_ref):
     """Global full-width slot + equal-width sector slabs.
 
     Column layout: [0, n_global) holds ALL targets in original order
@@ -431,29 +431,86 @@ def _kernel_slab(num_sectors, k, n_global, wp, packed, f0_ref, f1t_ref,
     extractions cost ~1.5/K of the fused kernel's full-width passes.
     Static slices only: the chunk-skipping variant's pl.when blocks
     (measured 2x slower) and the vmap-of-cond fallback (measured: vmap
-    turns lax.cond into BOTH branches) are both avoided."""
+    turns lax.cond into BOTH branches) are both avoided.
+
+    d2 is computed PER SPAN (one [T, span] dot per slot) instead of one
+    [T, n_lay] pass over the whole duplicated layout: the live distance
+    tile shrinks from n_lay (~2.5N) to one span, which unlocks T=128+
+    tiles — at T=32 a [32, .] operand wastes 3/4 of the MXU's 128-row
+    systolic tile, and the matmul was half the kernel's time.
+
+    Top-k extraction is a BIT-PACKED min-reduce: key_i32 =
+    (fixed_point_17bit(d2) << 14) | column. min(key) yields the
+    quantized min distance AND its column in one cheap i32 reduce
+    (argmin's index-tracking reduce costs ~2x), and the removal mask is
+    an exact equality (column bits make keys unique — exactly one
+    element removed per step). The fixed-point scale is
+    (2^17-2) / max_d2_bound with the bound computed by the wrapper from
+    the operands ((|f0|_max + |f1|_max)^2), so quantization is
+    max_d2_bound / 2^17 ABSOLUTE — 3e-5 for unit-normalized features:
+    ties closer than that break by column order instead of
+    exact-value order; such neighbors are interchangeable for
+    correspondence mining (the d2 VALUES are never consumed downstream
+    — ops/symmetry.py uses indices only). Quantization only reorders
+    WITHIN a row's extraction, so the data-dependent scale never leaks
+    across rows or tiles."""
     f0 = f0_ref[:]                      # [T, D]
     t = f0.shape[0]
-
-    d2 = _distance_tile(f0, f1t_ref, f1sq_ref, packed)
+    f0q = _pack_queries(f0) if packed else f0
+    f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)        # [T, 1]
+    scale = scale_ref[0, 0]
 
     spans = [(0, n_global)] + [
         (n_global + s * wp, n_global + (s + 1) * wp)
         for s in range(num_sectors)
     ]
+    import os
+
+    bitpack = os.environ.get("CORSAIR_KNN_BITPACK", "1") == "1"
+    imax = jnp.int32(2**31 - 1)
     for slot, (lo, hi) in enumerate(spans):
         w = hi - lo
+        if packed:
+            dot = jnp.dot(f0q, f1t_ref[:, lo:hi],
+                          preferred_element_type=jnp.float32)
+        else:
+            dot = jnp.dot(f0q, f1t_ref[:, lo:hi],
+                          preferred_element_type=jnp.float32,
+                          precision=_feat_matmul_precision())
+        d2 = f0sq + f1sq_ref[0, lo:hi].reshape(1, w) - 2.0 * dot
         m = vmask_ref[0, lo:hi].reshape(1, w)
-        ds = jnp.where(m > 0.5, d2[:, lo:hi], _BIG)
         cnt = jnp.sum(m)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-        for j in range(k):
-            idx = jnp.argmin(ds, axis=1).astype(jnp.int32)
-            idx_ref[:, slot, j] = idx + lo
-            ok_ref[:, slot, j] = jnp.broadcast_to(
-                (cnt > j).astype(jnp.int32), (t,)
+        if bitpack and w <= 1 << 14:
+            q = jnp.minimum(
+                jnp.maximum(d2, 0.0) * scale, float(2**17 - 2)
+            ).astype(jnp.int32)
+            key = jnp.where(
+                m > 0.5,
+                (q << 14) | col_ids,
+                imax,
             )
-            ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
+            for j in range(k):
+                mk = jnp.min(key, axis=1)                  # [T] i32
+                # clamp: an all-invalid span's min is imax whose low
+                # bits (16383) may exceed the span; ok=0 masks it
+                idx_ref[:, slot, j] = (
+                    jnp.minimum(mk & 0x3FFF, w - 1) + lo
+                )
+                ok_ref[:, slot, j] = jnp.broadcast_to(
+                    (cnt > j).astype(jnp.int32), (t,)
+                )
+                key = jnp.where(key == mk[:, None], imax, key)
+        else:
+            # spans wider than the 14 index bits: exact argmin loop
+            ds = jnp.where(m > 0.5, d2, _BIG)
+            for j in range(k):
+                idx = jnp.argmin(ds, axis=1).astype(jnp.int32)
+                idx_ref[:, slot, j] = idx + lo
+                ok_ref[:, slot, j] = jnp.broadcast_to(
+                    (cnt > j).astype(jnp.int32), (t,)
+                )
+                ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
 
 
 def _round_up(x, m):
@@ -521,13 +578,24 @@ def slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
     f0 = jnp.pad(F0.astype(jnp.float32), ((0, pad0), (0, 0)))
     f1t = F1_lay.astype(jnp.float32).T
     f1sq = jnp.sum(f1t * f1t, axis=0)[None, :]
+    # fixed-point scale for the bit-packed extraction (see _kernel_slab)
+    bound = (
+        jnp.sqrt(jnp.max(jnp.sum(f0 * f0, axis=1)))
+        + jnp.sqrt(jnp.max(f1sq))
+    ) ** 2
+    scale = (float(2**17 - 2) / jnp.maximum(bound, 1e-12)).astype(
+        jnp.float32
+    ).reshape(1, 1)
     packed = _use_packed()
     if packed:
         f1t = _pack_targets(f1t)                   # [6D, n_lay] bf16
     d_in = f1t.shape[0]
     n_lay = n1 + S * wp
     n_tiles = (n0 + pad0) // tile
-    need = (8 * tile + 32) * n_lay * 4
+    # live VMEM: the resident packed-target block + ~6 [tile, span]
+    # f32 temporaries of the widest span (d2 is per-span now)
+    need = d_in * n_lay * f1t.dtype.itemsize \
+        + 6 * tile * max(n1, wp) * 4
     params = None
     if need > 14 * 1024 * 1024:
         params = pltpu.CompilerParams(
@@ -546,6 +614,8 @@ def slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_lay), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile, S + 1, k), lambda i: (i, 0, 0),
@@ -558,7 +628,7 @@ def slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int, k: int,
             jax.ShapeDtypeStruct((n0 + pad0, S + 1, k), jnp.int32),
         ),
         interpret=interpret,
-    )(f0, f1t, f1sq, vmask[None, :])
+    )(f0, f1t, f1sq, vmask[None, :], scale)
     idx, ok = idx[:n0], ok[:n0]
     # slot 0 already original indices; sector slots map through `back`
     sec_idx = back[jnp.maximum(idx[:, 1:] - n1, 0)]

@@ -117,8 +117,12 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
             )
 
             alpha = float(os.environ.get("CORSAIR_SLAB_ALPHA", "1.5"))
+            # per-span d2 + bit-packed extraction measured best at
+            # tile=128 (99 vs 104 ms at [8, 16384] — the whole-layout
+            # d2 form that forced tile=32 is gone)
+            slab_tile = int(os.environ.get("CORSAIR_SLAB_TILE", "128"))
             idx, ok, spill = slab_sector_knn_pallas(
-                F0, F1, sector1, num_sectors, k, v1=v1, tile=tile,
+                F0, F1, sector1, num_sectors, k, v1=v1, tile=slab_tile,
                 alpha=alpha,
             )
             return (idx, ok, spill) if return_spill else (idx, ok)

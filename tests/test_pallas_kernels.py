@@ -105,8 +105,23 @@ class TestSectorKnnKernel:
             v1=jnp.asarray(v1), tile=128, interpret=True,
             include_global=True,
         )
-        np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_f))
-        np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_f))
+        # The slab kernel's bit-packed extraction quantizes d2 to
+        # bound/2^17 absolute before ranking (sector_knn.py
+        # _kernel_slab): picks may swap ONLY between neighbors whose
+        # true distances are within that tolerance — assert index
+        # equality except where both picks are distance-equivalent.
+        idx_s, ok_s = np.asarray(idx_s), np.asarray(ok_s)
+        idx_f, ok_f = np.asarray(idx_f), np.asarray(ok_f)
+        np.testing.assert_array_equal(ok_s, ok_f)
+        d2 = ((F0[:, None, :] - F1[None, :, :]) ** 2).sum(-1)
+        rows = np.arange(len(F0))[:, None, None]
+        gap = np.abs(d2[rows, idx_s] - d2[rows, idx_f])
+        bound = (np.linalg.norm(F0, axis=1).max()
+                 + np.linalg.norm(F1, axis=1).max()) ** 2
+        mism = idx_s != idx_f
+        assert mism.mean() < 0.01, mism.mean()
+        assert gap[mism].max() <= 2.5 * bound / 2**17 if mism.any() \
+            else True
 
     def test_slab_overflow_sets_spill_global_exact(self, rng):
         """A sector larger than its slab: spill flag raised, the GLOBAL

@@ -164,6 +164,37 @@ class TestSymPose:
         assert np.isfinite(cd_best)
         assert np.isfinite(T_ransac).all()
 
+    def test_prescore_matches_exact_all(self, rng):
+        """Two-stage CD scoring (cd_prescore_sample/keep) must select
+        the same transform and report the same (exact) CDs as the
+        exact-all path on clean symmetric clouds (K=4, S=8)."""
+        import dataclasses
+
+        xyz0, feat = _two_sided_cloud(rng, n=400)
+        T = np.eye(4)
+        T[:3, :3] = euler_y(np.float64(0.7))
+        T[:3, 3] = [0.1, -0.2, 0.3]
+        xyz1 = apply_transform(xyz0, T).astype(np.float32)
+        valid = np.ones(len(xyz0), bool)
+        base = SymPoseConfig(
+            num_sectors=4, max_sample=16, kmeans_restarts=3,
+            kmeans_iters=12, max_corr=0.2,
+            ransac=RansacConfig(num_hypotheses=512, sample_size=10),
+            cd_prescore_sample=128, cd_prescore_keep=2,
+        )
+        exact = dataclasses.replace(base, cd_prescore_sample=0)
+        args = (
+            jax.random.PRNGKey(0),
+            jnp.asarray(feat), jnp.asarray(xyz0), jnp.asarray(valid),
+            jnp.asarray(feat), jnp.asarray(xyz1), jnp.asarray(valid),
+        )
+        out_p = [np.asarray(x) for x in sym_pose(*args, base, chunk=128)]
+        out_e = [np.asarray(x) for x in sym_pose(*args, exact, chunk=128)]
+        np.testing.assert_allclose(out_p[0], out_e[0], atol=1e-6)  # T_best
+        np.testing.assert_allclose(out_p[1], out_e[1], atol=1e-6)  # cd_best
+        np.testing.assert_allclose(out_p[3], out_e[3], atol=1e-6)  # cd_ransac
+        assert out_p[4] == out_e[4]
+
     def test_unequal_capacities(self, rng):
         """The deployed register_pairs path pads the query and CAD
         sides to INDEPENDENT caps (eval/registration.py) — sym_pose must
