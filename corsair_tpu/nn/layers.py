@@ -45,7 +45,10 @@ def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
     MXU kernel — 2.5-3.7x faster than the gather formulation and
     f32-exact (core/kernels/banded_conv.py) — with a ``lax.cond``
     fallback to the gather path when the per-batch coverage check
-    failed (unsorted layouts, oversized windows).
+    failed (unsorted layouts, oversized windows). With a bf16
+    ``compute_dtype`` the banded selection drops to its single-plane
+    bf16 mode (3x cheaper — the same precision class the bf16 gather
+    path runs at).
     """
     kernel = params["kernel"]
     if plan is not None:
@@ -54,10 +57,22 @@ def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
         )
 
         starts, anyv, ok, band = plan
+        # Single-plane bf16 selection (3x cheaper) is OPT-IN: the first
+        # TPU run of bf16+banded crashed the axon backend mid-compile
+        # (the tpu_compile_helper SIGABRT pattern, NOTES.md) — do not
+        # re-enable by default until diagnosed on a live chip. exact
+        # 3-plane mode is TPU-proven.
+        import os
+
+        exact = not (
+            compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.bfloat16
+            and os.environ.get("CORSAIR_BANDED_BF16", "0") == "1"
+        )
 
         def banded(f):
             return banded_conv_pallas(
-                f, table, kernel, starts, anyv, band=band, exact=True
+                f, table, kernel, starts, anyv, band=band, exact=exact
             )
 
         def gather(f):

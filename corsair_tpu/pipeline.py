@@ -64,9 +64,14 @@ class FeatureExtractor:
         self.config = config
         banded = config.banded_band
         if banded is None:
-            banded = 512 if jax.default_backend() != "cpu" else 0
+            # 384 measured best at protocol scale (bench extract 1.41 ->
+            # 1.28 s/128: selection-matmul work scales with band width);
+            # batches that don't band at 384 lax.cond to the gather path
+            banded = 384 if jax.default_backend() != "cpu" else 0
         if os.environ.get("CORSAIR_BANDED", "1") == "0":
             banded = 0
+        elif "CORSAIR_BANDED_BAND" in os.environ:  # A/B knob
+            banded = int(os.environ["CORSAIR_BANDED_BAND"])
         self.model_cfg = resunet.make_config(
             config.model_name,
             in_channels=config.in_channels,

@@ -139,6 +139,33 @@ class TestBandedPipeline:
         for a, b in zip(fb, fg):
             np.testing.assert_allclose(a, b, atol=2e-5)
 
+    def test_banded_bf16_mode_close_to_f32(self, rng):
+        """CORSAIR_BANDED_BF16=1 + compute_dtype=bfloat16 routes the
+        banded selection to its single-plane bf16 mode
+        (layers.sparse_conv): descriptors must stay in the bf16 gather
+        path's error class vs exact f32. (Opt-in: the mode is gated off
+        pending a TPU-compiler-crash diagnosis — see layers.py.)"""
+        import os
+
+        from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+        import jax
+
+        clouds = self._clouds(rng)
+        ex_f = FeatureExtractor(ExtractorConfig(banded_band=512))
+        ex_b = FeatureExtractor(ExtractorConfig(
+            banded_band=512, compute_dtype="bfloat16"
+        ))
+        params = ex_f.init_params(jax.random.PRNGKey(3))
+        _, df = ex_f.extract_batch_np(params, clouds, capacity=1024)
+        os.environ["CORSAIR_BANDED_BF16"] = "1"
+        try:
+            _, db = ex_b.extract_batch_np(params, clouds, capacity=1024)
+        finally:
+            del os.environ["CORSAIR_BANDED_BF16"]
+        # descriptors are L2-normalized; bf16 conv class error ~1e-3
+        cos = np.sum(df * db, axis=1)
+        assert cos.min() > 0.999, cos.min()
+
     def test_banded_grads_match_gather(self, rng):
         """Training through the banded path (custom VJP): grads of a
         banded-enabled forward match the gather path's."""
