@@ -513,8 +513,227 @@ def _kernel_slab(num_sectors, k, n_global, wp, packed, f0_ref, f1t_ref,
                 ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
 
 
+def _kernel_slab_merged(num_sectors, k, wp, wo, packed,
+                        f0_ref, f1t_ref, f1sq_ref, vmask_ref, scale_ref,
+                        flag_ref, idx_ref, ok_ref, ovk_ref, ovi_ref):
+    """Sector slabs + guarded overflow slab; global top-k BY MERGE.
+
+    The full-width global scan was ~40% of `_kernel_slab`'s extraction
+    passes and its d2 matmul columns. The sector slabs (plus an
+    overflow slab holding any members that exceeded their sector's
+    width) PARTITION the valid targets, so the global top-k equals the
+    top-k of the (S+1)*k slab winners — a [T, (S+1)*k] merge instead of
+    a [T, N] scan. The overflow slab is empty unless a sector spilled;
+    its d2 + extraction sit behind a pl.when on a per-cloud scalar, so
+    the common case never pays for it (and on spill the GLOBAL slot
+    stays exact — only sector slots are incomplete, and the spill flag
+    already voids those downstream).
+
+    Merge keys reuse the bit-packed layout with entry ids in the low 14
+    bits; valid value bits max out at (2^17-2)<<14 < the imax sentinel's
+    value bits, so exhausted slots sort last. Ties across slabs break
+    by (slot, j) order within the same 17-bit quantization class as the
+    in-slab extraction."""
+    f0 = f0_ref[:]                      # [T, D]
+    t = f0.shape[0]
+    f0q = _pack_queries(f0) if packed else f0
+    f0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)
+    scale = scale_ref[0, 0]
+    imax = jnp.int32(2**31 - 1)
+    S = num_sectors
+
+    def span_d2(lo, w):
+        if packed:
+            dot = jnp.dot(f0q, f1t_ref[:, lo:lo + w],
+                          preferred_element_type=jnp.float32)
+        else:
+            dot = jnp.dot(f0q, f1t_ref[:, lo:lo + w],
+                          preferred_element_type=jnp.float32,
+                          precision=_feat_matmul_precision())
+        d2 = f0sq + f1sq_ref[0, lo:lo + w].reshape(1, w) - 2.0 * dot
+        m = vmask_ref[0, lo:lo + w].reshape(1, w)
+        col = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+        q = jnp.minimum(
+            jnp.maximum(d2, 0.0) * scale, float(2**17 - 2)
+        ).astype(jnp.int32)
+        key = jnp.where(m > 0.5, (q << 14) | col, imax)
+        return key, jnp.sum(m)
+
+    ent_key, ent_idx = [], []           # per entry: [T] i32
+    for s in range(S):
+        lo = s * wp
+        key, cnt = span_d2(lo, wp)
+        for j in range(k):
+            mk = jnp.min(key, axis=1)
+            ent_key.append(mk)
+            ent_idx.append(jnp.minimum(mk & 0x3FFF, wp - 1) + lo)
+            idx_ref[:, 1 + s, j] = ent_idx[-1]
+            ok_ref[:, 1 + s, j] = jnp.broadcast_to(
+                (cnt > j).astype(jnp.int32), (t,)
+            )
+            key = jnp.where(key == mk[:, None], imax, key)
+
+    # overflow slab: runs only when a sector spilled (per-cloud scalar)
+    ovk_ref[:] = jnp.full((t, k), imax, jnp.int32)
+    ovi_ref[:] = jnp.full((t, k), S * wp, jnp.int32)
+
+    @pl.when(flag_ref[0, 0] > 0)
+    def _():
+        key, _cnt = span_d2(S * wp, wo)
+        kk = key
+        for j in range(k):
+            mk = jnp.min(kk, axis=1)
+            ovk_ref[:, j] = mk
+            ovi_ref[:, j] = jnp.minimum(mk & 0x3FFF, wo - 1) + S * wp
+            kk = jnp.where(kk == mk[:, None], imax, kk)
+
+    for j in range(k):
+        ent_key.append(ovk_ref[:, j])
+        ent_idx.append(ovi_ref[:, j])
+
+    # global slot = merge of the (S+1)*k entries
+    ent = len(ent_key)                              # <= 2**14
+    allk = jnp.stack(
+        [(kk & jnp.int32(~0x3FFF)) | jnp.int32(e)
+         for e, kk in enumerate(ent_key)], axis=1
+    )                                               # [T, ENT]
+    alli = jnp.stack(ent_idx, axis=1)               # [T, ENT]
+    eid = jax.lax.broadcasted_iota(jnp.int32, (t, ent), 1)
+    cnt_total = jnp.sum(vmask_ref[0, :])
+    for j in range(k):
+        mg = jnp.min(allk, axis=1)                  # [T]
+        e = mg & 0x3FFF
+        gidx = jnp.sum(
+            jnp.where(eid == e[:, None], alli, 0), axis=1
+        )
+        idx_ref[:, 0, j] = gidx
+        ok_ref[:, 0, j] = jnp.broadcast_to(
+            (cnt_total > j).astype(jnp.int32), (t,)
+        )
+        allk = jnp.where(allk == mg[:, None], imax, allk)
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("num_sectors", "k", "tile", "alpha",
+                                   "interpret"))
+def merged_slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int,
+                                  k: int, v1=None, tile: int = 128,
+                                  alpha: float = 1.5,
+                                  interpret: bool = False):
+    """`slab_sector_knn_pallas` contract with the global slot computed
+    by MERGING the sector/overflow slab winners instead of a full-width
+    scan (see `_kernel_slab_merged`). Valid targets that exceed their
+    sector's slab go to an overflow slab (runtime-guarded: free when
+    empty), so the GLOBAL slot is exact even on spill; sector slots are
+    incomplete on spill exactly like the base kernel (flag semantics
+    unchanged). Falls back to the base kernel when a slab span exceeds
+    the 14 index bits of the bit-packed extraction."""
+    n0, d = F0.shape
+    n1 = F1.shape[0]
+    S = num_sectors
+    wp = _round_up(max(int(alpha * n1 / S), 128), 128)
+    wo = _round_up(max(n1 - wp, 128), 128)
+    if max(wp, wo) > 1 << 14:
+        return slab_sector_knn_pallas(F0, F1, sector1, num_sectors, k,
+                                      v1=v1, tile=tile, alpha=alpha,
+                                      interpret=interpret)
+    v1b = jnp.ones((n1,), bool) if v1 is None else v1
+    key_sec = jnp.where(v1b, sector1.astype(jnp.int32), S)
+    _, order = jax.lax.sort(
+        (key_sec, jnp.arange(n1, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    sec_sorted = key_sec[order]
+    counts = jnp.sum(
+        key_sec[None, :] == jnp.arange(S)[:, None], axis=1
+    )
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    rank = jnp.arange(n1, dtype=jnp.int32)
+    in_slab = sec_sorted < S
+    pos = rank - jnp.where(
+        in_slab, starts[jnp.minimum(sec_sorted, S - 1)], 0
+    )
+    fits = in_slab & (pos < wp)
+    spilled = in_slab & ~fits
+    ov_pos = jnp.cumsum(spilled.astype(jnp.int32)) - 1
+    spill = jnp.any(counts > wp)
+    n_lay = S * wp + wo
+    dest = jnp.where(
+        fits, sec_sorted * wp + jnp.minimum(pos, wp - 1),
+        jnp.where(spilled, S * wp + jnp.minimum(ov_pos, wo - 1), n_lay),
+    )
+    slab_f = jnp.zeros((n_lay + 1, d), F1.dtype).at[dest].set(F1[order])
+    slab_v = jnp.zeros((n_lay + 1,), jnp.float32).at[dest].set(
+        (fits | spilled).astype(jnp.float32)
+    )
+    back = jnp.zeros((n_lay + 1,), jnp.int32).at[dest].set(order)
+    F1_lay, vmask, back = slab_f[:-1], slab_v[:-1], back[:-1]
+
+    pad0 = (-n0) % tile
+    f0 = jnp.pad(F0.astype(jnp.float32), ((0, pad0), (0, 0)))
+    f1t = F1_lay.astype(jnp.float32).T
+    f1sq = jnp.sum(f1t * f1t, axis=0)[None, :]
+    bound = (
+        jnp.sqrt(jnp.max(jnp.sum(f0 * f0, axis=1)))
+        + jnp.sqrt(jnp.max(f1sq))
+    ) ** 2
+    scale = (float(2**17 - 2) / jnp.maximum(bound, 1e-12)).astype(
+        jnp.float32
+    ).reshape(1, 1)
+    flag = spill.astype(jnp.int32).reshape(1, 1)
+    packed = _use_packed()
+    if packed:
+        f1t = _pack_targets(f1t)
+    d_in = f1t.shape[0]
+    n_tiles = (n0 + pad0) // tile
+    need = d_in * n_lay * f1t.dtype.itemsize \
+        + 6 * tile * max(wp, wo) * 4
+    params = None
+    if need > 14 * 1024 * 1024:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+        )
+    idx, ok = pl.pallas_call(
+        partial(_kernel_slab_merged, S, k, wp, wo, packed),
+        compiler_params=params,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, n_lay), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lay), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lay), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, S + 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, S + 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n0 + pad0, S + 1, k), jnp.int32),
+            jax.ShapeDtypeStruct((n0 + pad0, S + 1, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, k), jnp.int32),
+            pltpu.VMEM((tile, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(f0, f1t, f1sq, vmask[None, :], scale, flag)
+    idx, ok = idx[:n0], ok[:n0]
+    return back[idx], ok, spill
 
 
 @partial(jax.jit, static_argnames=("num_sectors", "k", "tile", "alpha",

@@ -121,6 +121,16 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
             # tile=128 (99 vs 104 ms at [8, 16384] — the whole-layout
             # d2 form that forced tile=32 is gone)
             slab_tile = int(os.environ.get("CORSAIR_SLAB_TILE", "128"))
+            if os.environ.get("CORSAIR_MERGED_KNN", "0") == "1":
+                from corsair_tpu.core.kernels.sector_knn import (
+                    merged_slab_sector_knn_pallas,
+                )
+
+                idx, ok, spill = merged_slab_sector_knn_pallas(
+                    F0, F1, sector1, num_sectors, k, v1=v1,
+                    tile=slab_tile, alpha=alpha,
+                )
+                return (idx, ok, spill) if return_spill else (idx, ok)
             idx, ok, spill = slab_sector_knn_pallas(
                 F0, F1, sector1, num_sectors, k, v1=v1, tile=slab_tile,
                 alpha=alpha,

@@ -152,6 +152,71 @@ class TestSectorKnnKernel:
             np.asarray(idx_s[:, 2:]), np.asarray(idx_f[:, 2:])
         )
 
+    def test_merged_matches_fused(self, rng):
+        """Merged-global slab kernel == fused kernel (all slots), up to
+        bit-pack quantization ties (same tolerance as the slab test)."""
+        from corsair_tpu.core.kernels.sector_knn import (
+            merged_slab_sector_knn_pallas,
+        )
+
+        F0 = rng.randn(200, 16).astype(np.float32)
+        F1 = rng.randn(512, 16).astype(np.float32)
+        sec = rng.randint(0, 4, 512).astype(np.int32)
+        v1 = np.ones(512, bool)
+        v1[490:] = False
+        idx_m, ok_m, spill = merged_slab_sector_knn_pallas(
+            jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 5,
+            v1=jnp.asarray(v1), tile=128, interpret=True,
+        )
+        assert not bool(spill)
+        idx_f, ok_f = sector_knn_pallas(
+            jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 5,
+            v1=jnp.asarray(v1), tile=128, interpret=True,
+            include_global=True,
+        )
+        idx_m, ok_m = np.asarray(idx_m), np.asarray(ok_m)
+        idx_f, ok_f = np.asarray(idx_f), np.asarray(ok_f)
+        np.testing.assert_array_equal(ok_m, ok_f)
+        d2 = ((F0[:, None, :] - F1[None, :, :]) ** 2).sum(-1)
+        rows = np.arange(len(F0))[:, None, None]
+        gap = np.abs(d2[rows, idx_m] - d2[rows, idx_f])
+        bound = (np.linalg.norm(F0, axis=1).max()
+                 + np.linalg.norm(F1, axis=1).max()) ** 2
+        mism = idx_m != idx_f
+        assert mism.mean() < 0.02, mism.mean()
+        if mism.any():
+            assert gap[mism].max() <= 2.5 * bound / 2**17
+
+    def test_merged_overflow_global_exact(self, rng):
+        """On spill the merged kernel's GLOBAL slot must still cover
+        every valid target (overflow slab scanned): neighbor distances
+        match the fused kernel's global slot."""
+        from corsair_tpu.core.kernels.sector_knn import (
+            merged_slab_sector_knn_pallas,
+        )
+
+        F0 = rng.randn(100, 8).astype(np.float32)
+        F1 = rng.randn(512, 8).astype(np.float32)
+        sec = np.zeros(512, np.int32)
+        sec[:40] = rng.randint(1, 4, 40)  # sector 0 holds ~92%
+        idx_m, ok_m, spill = merged_slab_sector_knn_pallas(
+            jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 3,
+            tile=128, alpha=1.5, interpret=True,
+        )
+        assert bool(spill)
+        idx_f, ok_f = sector_knn_pallas(
+            jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, 3,
+            tile=128, interpret=True, include_global=True,
+        )
+        idx_m = np.asarray(idx_m)
+        idx_f = np.asarray(idx_f)
+        d2 = ((F0[:, None, :] - F1[None, :, :]) ** 2).sum(-1)
+        rows = np.arange(len(F0))[:, None]
+        gap = np.abs(d2[rows, idx_m[:, 0]] - d2[rows, idx_f[:, 0]])
+        bound = (np.linalg.norm(F0, axis=1).max()
+                 + np.linalg.norm(F1, axis=1).max()) ** 2
+        assert gap.max() <= 2.5 * bound / 2**17
+
     def test_empty_sector(self, rng):
         """A sector with no members must report ok=False everywhere."""
         F0 = rng.randn(64, 4).astype(np.float32)
