@@ -175,10 +175,19 @@ class Trainer:
 
     def __init__(self, extractor, train_cfg: TrainConfig = TrainConfig(),
                  pair_cap: int = 1024):
+        import dataclasses
+
         self.extractor = extractor
         self.train_cfg = train_cfg
         self.pair_cap = pair_cap
         self.opt = make_optimizer(train_cfg)
+        # Training batches come from collate_pair_fn in first-occurrence
+        # voxel order (pair indices reference those rows, so sorting is
+        # not an option): banded-conv coverage plans would fail every
+        # batch and only pay the check + lax.cond. Pin the gather conv.
+        self.model_cfg = dataclasses.replace(
+            extractor.model_cfg, banded_band=0
+        )
 
     def init(self, key):
         params = self.extractor.init_params(key)
@@ -208,6 +217,6 @@ class Trainer:
             jnp.asarray(pip), jnp.asarray(pip_v),
             jnp.asarray(pin), jnp.asarray(pin_v),
             jnp.asarray(nin), jnp.asarray(nin_v),
-            self.extractor.model_cfg, self.extractor.manager,
+            self.model_cfg, self.extractor.manager,
             self.train_cfg, self.opt,
         )
