@@ -73,6 +73,9 @@ def precompute_cad_cuts(key, uniq_cads, cad_feats, cad_xyz, cap_c, cfg,
     and removes half the cut cost from the per-pair loop."""
     sec = np.zeros((len(uniq_cads), cap_c), np.int32)
     ok = np.zeros(len(uniq_cads), bool)
+    # one dispatch per key batch: per-element fold_in python loops cost
+    # one tunnel RTT each (defined once — re-jitting per batch retraces)
+    fold_keys = jax.jit(jax.vmap(partial(jax.random.fold_in, key)))
     for s in range(0, len(uniq_cads), batch_size):
         sel = uniq_cads[s : s + batch_size]
         bsz = len(sel)
@@ -81,11 +84,7 @@ def precompute_cad_cuts(key, uniq_cads, cad_feats, cad_xyz, cap_c, cfg,
         )
         f1, v1 = _pad_stack([cad_feats[int(i)] for i in pad_sel], cap_c)
         x1, _ = _pad_stack([cad_xyz[int(i)] for i in pad_sel], cap_c)
-        # one dispatch for the whole key batch: per-element fold_in
-        # python loops cost one tunnel RTT each
-        bkeys = jax.jit(jax.vmap(partial(jax.random.fold_in, key)))(
-            jnp.asarray(pad_sel)
-        )
+        bkeys = fold_keys(jnp.asarray(pad_sel))
         s_b, ok_b = _cut_batch(
             bkeys, jnp.asarray(f1), jnp.asarray(x1), jnp.asarray(v1),
             cfg,
