@@ -172,6 +172,12 @@ def register_pairs(
                 cut_key, uniq, cad_feats, cad_xyz, cap_c, cfg,
             )
             cut_row = {int(c): r for r, c in enumerate(uniq)}
+        # Results are fetched AFTER the dispatch loop: a per-batch
+        # np.asarray would block the host on every batch, serializing
+        # the next batch's uploads against the device compute (the
+        # tunnel RTT alone is ~30 ms/fetch). Device buffers for the
+        # pending results are tiny ([B, 4, 4] + scalars per batch).
+        pending = []
         for s in range(0, len(idxs), batch_size):
             sel = idxs[s : s + batch_size]
             bsz = len(sel)
@@ -198,16 +204,16 @@ def register_pairs(
                 args = _shard_batch(args, mesh)
             batch_fn = (_sym_pose_batch_precut if precut
                         else _sym_pose_batch)
-            T_b, cd_b, T_r, cd_r, ok = batch_fn(
-                *args, cfg, chunk,
-            )
+            out = batch_fn(*args, cfg, chunk)
+            pending.append((sel, bsz, out))
+            if progress is not None:
+                progress(min(s + bsz, len(idxs)), len(idxs), num_sectors)
+        for sel, bsz, (T_b, cd_b, T_r, cd_r, ok) in pending:
             Ts_best[sel] = np.asarray(T_b)[:bsz]
             Ts_ransac[sel] = np.asarray(T_r)[:bsz]
             cd_best[sel] = np.asarray(cd_b)[:bsz]
             cd_ransac[sel] = np.asarray(cd_r)[:bsz]
             sym_ok[sel] = np.asarray(ok)[:bsz]
-            if progress is not None:
-                progress(min(s + bsz, len(idxs)), len(idxs), num_sectors)
 
     return RegistrationResults(
         Ts_est_ransac=Ts_ransac,

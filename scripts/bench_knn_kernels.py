@@ -78,11 +78,36 @@ def main():
     fused64 = reduced(lambda a, b, s, v: sector_knn_pallas(
         a, b, s, K, k, v1=v, tile=64, include_global=True))
 
+    from corsair_tpu.core.kernels.sector_knn import (
+        merged_slab_sector_knn_pallas,
+    )
+
+    slab128 = reduced(lambda a, b, s, v: slab_sector_knn_pallas(
+        a, b, s, K, k, v1=v, tile=128, alpha=1.5))
+    merged128 = reduced(lambda a, b, s, v: merged_slab_sector_knn_pallas(
+        a, b, s, K, k, v1=v, tile=128, alpha=1.5))
+    merged128a = reduced(
+        lambda a, b, s, v: merged_slab_sector_knn_pallas(
+            a, b, s, K, k, v1=v, tile=128, alpha=1.25))
+
+    # merged-kernel parity at full shape (global slot must match the
+    # always-exact slab global; sector slots identical when no spill)
+    im, om, spill_m = jax.vmap(
+        lambda a, b, s, v: merged_slab_sector_knn_pallas(
+            a, b, s, K, k, v1=v, tile=128, alpha=1.5)
+    )(q, F1, SEC, V1)
+    same_m = float(jnp.mean((ia == im).astype(jnp.float32)))
+    print(f"idx parity fused vs merged: {same_m:.6f} "
+          f"(spill: {np.asarray(spill_m).any()})")
+
     for name, f in [("fused full-width", fused),
                     ("fused tile=64", fused64),
                     ("slab alpha=1.5", slab),
                     ("slab alpha=1.25", slab125),
-                    ("slab a=1.25 t=64", slab64)]:
+                    ("slab a=1.25 t=64", slab64),
+                    ("slab a=1.5 t=128", slab128),
+                    ("merged a=1.5 t=128", merged128),
+                    ("merged a=1.25 t=128", merged128a)]:
         np.asarray(f(q, F1, SEC, V1))
         ts = []
         for _ in range(5):
