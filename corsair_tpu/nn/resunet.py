@@ -154,25 +154,38 @@ def init_params(key, cfg: ResUNetConfig):
     return p
 
 
-def make_banded_plans(maps: UNetMaps, band: int):
+def make_banded_plans(maps: UNetMaps, band: int, ngroups: int = 0):
     """Per-table banded-conv plans for ``forward`` (None entries =
     gather path). Runs inside the forward jit — cheap reductions over
     the tables — so coverage is re-checked per batch; ``sparse_conv``
     falls back via ``lax.cond`` when a batch's layout doesn't band.
+
+    ``ngroups``: kernel-offset grouping granularity (0 = env knob
+    ``CORSAIR_BANDED_GROUPS``, default 3). 3 groups offsets by their
+    dim-0 (x) component; 9 groups by (x, y) — each group's source
+    window then jumps only with z-steps (<~60 rows at bench scale), so
+    the covering band (and with it the selection-matmul work, linear in
+    band width) shrinks to ~tile + jitter + alignment. The per-group
+    band DMA count rises 3 -> 9; selection FLOPs fall with the band.
     """
+    import os
+
     from corsair_tpu.core.kernels.banded_conv import (
         NGROUPS,
         TILE,
         banded_plan,
     )
 
+    if ngroups <= 0:
+        ngroups = int(os.environ.get("CORSAIR_BANDED_GROUPS", NGROUPS))
+
     def mk(table, n_in, b):
         if table is None or b <= 0:
             return None
         k, n_out = table.shape
-        if n_out % TILE or k % NGROUPS or k < 9:
+        if n_out % TILE or k % ngroups or k < ngroups:
             return None
-        starts, anyv, ok = banded_plan(table, n_in, b)
+        starts, anyv, ok = banded_plan(table, n_in, b, ngroups=ngroups)
         return (starts, anyv, ok, b)
 
     L = maps.levels

@@ -108,6 +108,68 @@ def test_plan_and_kernel_handle_all_miss_tiles():
                                atol=5e-4)
 
 
+def _xyz_table(rng, n_in, n_out, k=27, jump_x=400, jump_y=60,
+               jump_z=5, miss_frac=0.2):
+    """Monotone rows with the REAL enumeration structure: offsets are
+    dim-0 fastest (k = dx + 3*dy + 9*dz), so index jumps decompose as
+    x-slice (~jump_x), y-row (~jump_y) and z-step (~jump_z) moves."""
+    base = np.sort(rng.randint(0, n_in, size=n_out)).astype(np.int64)
+    dx = np.array([-jump_x, 0, jump_x])[np.arange(k) % 3]
+    dy = np.array([-jump_y, 0, jump_y])[(np.arange(k) // 3) % 3]
+    dz = np.array([-jump_z, 0, jump_z])[(np.arange(k) // 9) % 3]
+    t = np.stack([np.clip(base + a + b + c, 0, n_in)
+                  for a, b, c in zip(dx, dy, dz)])
+    t[rng.rand(k, n_out) < miss_frac] = n_in
+    return t.astype(np.int32)
+
+
+def test_nine_group_plan_covers_tighter_band():
+    """Grouping by (x, y) — ngroups=9 — must cover with a band the
+    3-group plan cannot: within a 9-group only z-steps (~jump_z) move
+    the window, while a 3-group still absorbs the +-jump_y spread."""
+    rng = np.random.RandomState(7)
+    n_in, n_out, k, cin, cout = 1500, 1024, 27, 32, 32
+    table_np = _xyz_table(rng, n_in, n_out, k, jump_y=150)
+    table = jnp.asarray(table_np)
+    band = 384
+    _, _, ok3 = banded_plan(table, n_in, band, ngroups=3)
+    starts9, anyv9, ok9 = banded_plan(table, n_in, band, ngroups=9)
+    assert not bool(ok3)   # y-spread (2*150) + tile span exceeds 384
+    assert bool(ok9)
+    feats = jnp.asarray(rng.randn(n_in, cin).astype(np.float32))
+    kernel = jnp.asarray(
+        (rng.randn(k, cin, cout) * 0.1).astype(np.float32)
+    )
+    out_g = sparse_conv({"kernel": kernel}, feats, table)
+    out_b = banded_conv_pallas(feats, table, kernel, starts9, anyv9,
+                               band=band, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_g),
+                               atol=5e-4)
+
+
+def test_make_banded_plans_groups_env(rng, monkeypatch):
+    """CORSAIR_BANDED_GROUPS=9 routes the deployed pipeline through
+    9-group plans with unchanged outputs (interpret mode)."""
+    import jax
+
+    from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+
+    pts = rng.randn(400, 3).astype(np.float32)
+    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+    g = np.floor(pts / 0.06).astype(np.int32)
+    _, first = np.unique(g, axis=0, return_index=True)
+    cloud = g[np.sort(first)]
+
+    ex_g = FeatureExtractor(ExtractorConfig(banded_band=0))
+    params = ex_g.init_params(jax.random.PRNGKey(0))
+    fg, dg = ex_g.extract_batch_np(params, [cloud], capacity=1024)
+    monkeypatch.setenv("CORSAIR_BANDED_GROUPS", "9")
+    ex_b = FeatureExtractor(ExtractorConfig(banded_band=256))
+    fb, db = ex_b.extract_batch_np(params, [cloud], capacity=1024)
+    np.testing.assert_allclose(db, dg, atol=2e-5)
+    np.testing.assert_allclose(fb[0], fg[0], atol=2e-5)
+
+
 class TestBandedPipeline:
     """The deployed banded path end-to-end on CPU (interpret mode):
     input sorting, per-batch plans, lax.cond fallback, output unsort."""
