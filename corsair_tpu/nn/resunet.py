@@ -178,6 +178,15 @@ def make_banded_plans(maps: UNetMaps, band: int, ngroups: int = 0):
 
     if ngroups <= 0:
         ngroups = int(os.environ.get("CORSAIR_BANDED_GROUPS", NGROUPS))
+    # Down tables need a wider band than self/up tables: a stride-2
+    # output tile maps to ~2x the fine-row span. 2*band (768 at the
+    # deployed 384) leaves the L2 down spread (~812 measured at bench
+    # shapes, scripts/study_band_groups.py) uncovered — that conv then
+    # silently lax.conds to the gather path every batch — while
+    # 896 = round_up(812, 128) recovers it onto the MXU path.
+    band_down = int(os.environ.get(
+        "CORSAIR_BANDED_DOWN_BAND", max(2 * band, 896)
+    ))
 
     def mk(table, n_in, b):
         if table is None or b <= 0:
@@ -195,7 +204,7 @@ def make_banded_plans(maps: UNetMaps, band: int, ngroups: int = 0):
         plans.append({
             "self": mk(Li.self_table, n_l, band),
             "down": (mk(Li.down_table, L[lvl - 1].valid.shape[0],
-                        2 * band) if lvl else None),
+                        band_down) if lvl else None),
             "up": mk(Li.up_table, n_l, band) if lvl else None,
         })
     return plans
