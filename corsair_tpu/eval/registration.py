@@ -172,13 +172,19 @@ def register_pairs(
                 cut_key, uniq, cad_feats, cad_xyz, cap_c, cfg,
             )
             cut_row = {int(c): r for r, c in enumerate(uniq)}
-        # Results are fetched AFTER the dispatch loop: a per-batch
-        # np.asarray would block the host on every batch, serializing
-        # the next batch's uploads against the device compute (the
-        # tunnel RTT alone is ~30 ms/fetch). Device buffers for the
-        # pending results are tiny ([B, 4, 4] + scalars per batch).
-        pending = []
-        for s in range(0, len(idxs), batch_size):
+        # Host batch prep (pad_stack memcpys + device uploads, ~16 MB
+        # per batch at protocol caps) runs AHEAD on worker threads
+        # (pure function of the batch index — safe at any worker
+        # count), and results are fetched AFTER the dispatch loop: a
+        # per-batch np.asarray would serialize uploads and compute
+        # against a ~30 ms tunnel RTT per fetch. Device buffers for
+        # the pending results are tiny ([B, 4, 4] + scalars).
+        from corsair_tpu.data.prefetch import prefetch_ordered
+
+        starts = list(range(0, len(idxs), batch_size))
+
+        def make_batch(bi: int):
+            s = starts[bi]
             sel = idxs[s : s + batch_size]
             bsz = len(sel)
             pad_sel = np.concatenate(
@@ -202,12 +208,19 @@ def register_pairs(
                                jnp.asarray(cut_ok[rows]))
             if mesh is not None:
                 args = _shard_batch(args, mesh)
-            batch_fn = (_sym_pose_batch_precut if precut
-                        else _sym_pose_batch)
+            return sel, bsz, args
+
+        batch_fn = (_sym_pose_batch_precut if precut
+                    else _sym_pose_batch)
+        pending = []
+        for bi, (sel, bsz, args) in enumerate(prefetch_ordered(
+            make_batch, len(starts), workers=2, depth=2,
+        )):
             out = batch_fn(*args, cfg, chunk)
             pending.append((sel, bsz, out))
             if progress is not None:
-                progress(min(s + bsz, len(idxs)), len(idxs), num_sectors)
+                progress(min(starts[bi] + bsz, len(idxs)), len(idxs),
+                         num_sectors)
         for sel, bsz, (T_b, cd_b, T_r, cd_r, ok) in pending:
             Ts_best[sel] = np.asarray(T_b)[:bsz]
             Ts_ransac[sel] = np.asarray(T_r)[:bsz]
