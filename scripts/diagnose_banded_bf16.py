@@ -11,6 +11,11 @@ This script compiles exact=False at Cin = 1, 2, 4, 8, 16, 32 one at a
 time, smallest first, printing progress BEFORE each compile so the
 crashing shape is identified even if the backend dies. Run it only
 when losing the TPU tunnel for a while is acceptable.
+
+UPDATE (round-3 session 3): the kernel now pads any selection operand
+narrower than 16 sublanes to a full bf16 tile (banded_conv.py sublane
+guard), so a clean pass here green-lights flipping single-plane on via
+CORSAIR_BANDED_FAST=1 (bench step in scripts/on_chip_sequence.sh).
 """
 
 import os

@@ -34,3 +34,11 @@ run env CORSAIR_BENCH_BF16=1 python bench.py
 
 # 6. sharded pipeline through the real TPU kernels
 run python scripts/mesh_smoke.py
+
+# 7. RISKY LAST (can kill the backend — same class as the recorded
+#    SIGABRT): single-plane selection compile sweep with the new
+#    sublane-pad guard, then the single-plane bench A/B. Expected if
+#    the guard holds: selection FLOPs /3 and recombine passes /6 =>
+#    a large extraction win at gather-path precision class.
+run python scripts/diagnose_banded_bf16.py
+run env CORSAIR_BANDED_FAST=1 python bench.py
