@@ -42,6 +42,39 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/corsair_jax_cache")
 
+
+def _probe_accelerator(timeout_s: int = 300) -> bool:
+    """Bounded liveness probe of the default (axon) backend.
+
+    A crashed axon tunnel hangs ``jax.devices()`` FOREVER (observed:
+    a TPU-compiler SIGABRT leaves the backend unresponsive for hours),
+    which would turn this bench into a silent driver hang. Probe in a
+    subprocess with a hard timeout; on failure the bench falls back to
+    the CPU backend at the tiny workload so it still emits its one
+    JSON line in minutes (marked ``"platform": "cpu-fallback"``).
+    """
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return False
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(int(jnp.ones((4,)).sum()))")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return out.returncode == 0 and out.stdout.strip().endswith("4")
+    except subprocess.TimeoutExpired:
+        return False
+
+
+_CPU_FALLBACK = not _probe_accelerator()
+if _CPU_FALLBACK:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("CORSAIR_BENCH_TINY", "1")
+
 REFERENCE_BASELINE_PCLOUDS_PER_SEC = 1.0
 
 # v5e peaks (public spec): 197 TFLOP/s bf16 matmul (f32 operands run as
@@ -93,16 +126,58 @@ def extract_flops_bytes(b, cap, ratios, dtype_bytes=4,
     )
     return flops, bytes_
 
+
+def banded_selection_flops(b, cap, ratios, band=384, band_down=896,
+                           planes=3, conv1_ksize=3):
+    """MXU FLOPs the banded conv spends on one-hot SELECTION per batch
+    (core/kernels/banded_conv.py step 3): 2*rows*K*planes*Cin*W per
+    table conv, W = band (self/up tables) or band_down (down tables).
+    This is overhead on top of the conv FLOPs — at band 384 it is 36x
+    the conv FLOPs at L0 (3*W/Cout) — and the reason extraction's
+    "useful" MFU reads low while the MXU is busy. planes=3 is the
+    deployed exact mode; single-plane (CORSAIR_BANDED_FAST) divides
+    this by 3."""
+    n = [int(b * cap * r) for r in ratios]
+    ch = (32, 64, 128, 256)
+    tr = (64, 64, 64, 128)
+    k1 = conv1_ksize ** 3
+    # (rows, K, Cin, W): every 27-offset table conv in the forward;
+    # 1x1 convs and the head never route through the banded kernel.
+    sel_layers = [
+        (n[0], k1, 1, band),
+        (n[0], 27, ch[0], band), (n[0], 27, ch[0], band),
+        (n[1], 27, ch[0], band_down),
+        (n[1], 27, ch[1], band), (n[1], 27, ch[1], band),
+        (n[2], 27, ch[1], band_down),
+        (n[2], 27, ch[2], band), (n[2], 27, ch[2], band),
+        (n[3], 27, ch[2], band_down),
+        (n[3], 27, ch[3], band), (n[3], 27, ch[3], band),
+        (n[2], 27, ch[3], band),
+        (n[2], 27, tr[3], band), (n[2], 27, tr[3], band),
+        (n[1], 27, ch[2] + tr[3], band),
+        (n[1], 27, tr[2], band), (n[1], 27, tr[2], band),
+        (n[0], 27, ch[1] + tr[2], band),
+        (n[0], 27, tr[1], band), (n[0], 27, tr[1], band),
+    ]
+    return sum(2 * r * k * max(planes * ci, 16) * w
+               for r, k, ci, w in sel_layers)
+
 # CORSAIR_BENCH_SMALL=1 reproduces the round-1 continuity workload
 # (16 queries x 16 CADs at ~7k voxels, cap 8192) for apples-to-apples
 # tracking of the per-change perf log in ARCHITECTURE.md.
-_SMALL = os.environ.get("CORSAIR_BENCH_SMALL", "") == "1"
-N_QUERIES = 16 if _SMALL else 128
-N_LIB = 16 if _SMALL else 652  # 652 = chair library (configs/03001627_*)
-N_PTS = 8000 if _SMALL else 15000   # raw points (Reader first-N budget)
-CAP = 8192 if _SMALL else 16384     # voxel capacity at voxel 0.03
-EXTRACT_BATCH = 16
-REG_BATCH = int(os.environ.get("CORSAIR_REG_BATCH", "8"))
+# CORSAIR_BENCH_TINY=1 (also set by the CPU fallback) shrinks everything
+# so the bench completes in minutes without an accelerator.
+_TINY = os.environ.get("CORSAIR_BENCH_TINY", "") == "1"
+_SMALL = _TINY or os.environ.get("CORSAIR_BENCH_SMALL", "") == "1"
+N_QUERIES = 4 if _TINY else (16 if _SMALL else 128)
+N_LIB = 4 if _TINY else (16 if _SMALL else 652)  # 652 = chair library
+N_PTS = 2000 if _TINY else (8000 if _SMALL else 15000)  # raw points
+CAP = 2048 if _TINY else (8192 if _SMALL else 16384)  # voxel capacity
+EXTRACT_BATCH = 4 if _TINY else 16
+REG_BATCH = int(os.environ.get("CORSAIR_REG_BATCH",
+                               "4" if _TINY else "8"))
+N_HYPOTHESES = 512 if _TINY else 4096
+N_REPEATS = 1 if _TINY else 3
 VOXEL = 0.03
 
 
@@ -127,6 +202,13 @@ def make_cloud(rng, n_pts=N_PTS, voxel=VOXEL):
 
 def main():
     import jax
+
+    if _CPU_FALLBACK:
+        # The environment's sitecustomize force-sets
+        # jax_platforms="axon,cpu" AFTER jax import, overriding the
+        # JAX_PLATFORMS env var — config.update is the only way to stay
+        # off the (dead) tunnel (see .claude/skills/verify/SKILL.md).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from corsair_tpu.eval.registration import (
@@ -185,7 +267,7 @@ def main():
 
     sym_cfg = SymPoseConfig(
         k_nn=5, max_corr=0.2, num_sectors=4,
-        ransac=RansacConfig(num_hypotheses=4096, sample_size=10,
+        ransac=RansacConfig(num_hypotheses=N_HYPOTHESES, sample_size=10,
                             max_corr_dist=0.2),
     )
 
@@ -315,7 +397,7 @@ def main():
     run_once()  # warmup/compile
 
     best = None
-    for _ in range(3):
+    for _ in range(N_REPEATS):
         t0 = time.perf_counter()
         _, phases = run_once()
         elapsed = time.perf_counter() - t0
@@ -348,9 +430,44 @@ def main():
             bytes_b * n_batches / t_ex / 1e9 / PEAK_HBM_GBPS, 4
         ),
     }
+    # The banded conv's one-hot selection runs ON the MXU but is
+    # overhead, not conv work: report it so the gap between "useful"
+    # MFU and a busy MXU is visible, and the single-plane win
+    # (selection / 3, recombine passes / 6) is predictable.
+    banded_on = (jax.default_backend() != "cpu"
+                 and os.environ.get("CORSAIR_BANDED", "1") != "0")
+    band = int(os.environ.get("CORSAIR_BANDED_BAND", "384"))
+    band_down = int(os.environ.get("CORSAIR_BANDED_DOWN_BAND",
+                                   str(max(2 * band, 896))))
+    # Mirrors layers.sparse_conv's mode policy: single-plane only when
+    # explicitly enabled (FAST for any dtype, BANDED_BF16 for bf16).
+    planes = 1 if (
+        os.environ.get("CORSAIR_BANDED_FAST") == "1"
+        or (dtype and os.environ.get("CORSAIR_BANDED_BF16") == "1")
+    ) else 3
+    sel_b = banded_selection_flops(
+        EXTRACT_BATCH, CAP, ratios, band=band, band_down=band_down,
+        planes=planes,
+    )
+    # Recombine matmul passes: HIGHEST (exact) = 6 bf16 passes over the
+    # conv FLOPs; DEFAULT (single-plane) = 1.
+    passes = 6 if planes == 3 else 1
+    if banded_on:
+        utilization["banded_selection_tflops_per_batch"] = round(
+            sel_b / 1e12, 3
+        )
+        utilization["mxu_busy_tflops_achieved"] = round(
+            (sel_b + passes * flops_b) * n_batches / t_ex / 1e12, 3
+        )
+        utilization["mxu_busy_vs_bf16_peak"] = round(
+            (sel_b + passes * flops_b) * n_batches / t_ex
+            / PEAK_MXU_FLOPS, 4,
+        )
 
+    scale = ("tiny" if _TINY else "small" if _SMALL else
+             "protocol scale")
     print(json.dumps({
-        "metric": "pclouds/sec (feat+retrieval+sym-RANSAC, protocol scale)",
+        "metric": f"pclouds/sec (feat+retrieval+sym-RANSAC, {scale})",
         "value": round(value, 3),
         "unit": "pclouds/sec",
         # The denominator is the ~1 pcloud/sec ESTIMATE documented
@@ -359,13 +476,15 @@ def main():
             value / REFERENCE_BASELINE_PCLOUDS_PER_SEC, 3
         ),
         "vs_baseline_is_estimate": True,
+        "platform": ("cpu-fallback" if _CPU_FALLBACK
+                     else jax.devices()[0].platform),
         "phases": {k: round(v, 3) for k, v in phases.items()},
         "utilization": utilization,
         "library_extract_s": round(t_library, 3),
         "workload": {
             "n_queries": N_QUERIES, "n_lib": N_LIB, "n_pts": N_PTS,
             "voxel_cap": CAP, "num_sectors": 4,
-            "ransac_hypotheses": 4096,
+            "ransac_hypotheses": N_HYPOTHESES,
         },
     }))
 

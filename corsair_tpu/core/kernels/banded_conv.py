@@ -143,6 +143,17 @@ def _kernel(ngroups, kg, cin, band, tile, exact,
                 )                                       # [3Cin, W] bf16
             else:
                 band3 = xb.astype(jnp.bfloat16)
+            # Sublane guard: a bf16 operand narrower than its native
+            # (16, 128) tile (conv1's Cin=1 gives [1, W] single-plane /
+            # [3, W] exact) is the prime suspect for the TPU-compiler
+            # SIGABRT recorded in NOTES.md. Pad to a full sublane tile;
+            # zero rows select zeros and are sliced back off below.
+            rows = band3.shape[0]
+            pad = max(16 - rows, 0)
+            if pad:
+                band3 = jnp.concatenate(
+                    [band3, jnp.zeros((pad, band), jnp.bfloat16)], axis=0
+                )
             iota = jax.lax.broadcasted_iota(
                 jnp.int32, (band, tile), 0
             )
@@ -154,15 +165,23 @@ def _kernel(ngroups, kg, cin, band, tile, exact,
                              preferred_element_type=jnp.float32)
                 if exact:
                     zs.append(
-                        z3[:cin] + z3[cin:2 * cin] + z3[2 * cin:]
+                        z3[:cin] + z3[cin:2 * cin] + z3[2 * cin:3 * cin]
                     )
                 else:
-                    zs.append(z3)
+                    zs.append(z3[:cin])
             z_g = jnp.concatenate(zs, axis=0)           # [Kg*Cin, T]
+            # exact mode reproduces the f32 gather formulation, so the
+            # recombine matmul runs HIGHEST (6 bf16 passes ~ f32). In
+            # single-plane mode the selected rows are already
+            # bf16-valued, and bf16(select(x)) == select(bf16(x)) —
+            # DEFAULT precision here lands in exactly the precision
+            # class of the TPU gather path's default einsum, at 1/6 the
+            # recombine passes of HIGHEST.
             outT_ref[:] += jnp.dot(
                 wfoldT_ref[:, g * kg * cin:(g + 1) * kg * cin], z_g,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else jax.lax.Precision.DEFAULT),
             )
 
 

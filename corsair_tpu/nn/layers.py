@@ -57,17 +57,28 @@ def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
         )
 
         starts, anyv, ok, band = plan
-        # Single-plane bf16 selection (3x cheaper) is OPT-IN: the first
-        # TPU run of bf16+banded crashed the axon backend mid-compile
-        # (the tpu_compile_helper SIGABRT pattern, NOTES.md) — do not
-        # re-enable by default until diagnosed on a live chip. exact
-        # 3-plane mode is TPU-proven.
+        # Single-plane bf16 selection (3x cheaper selection + DEFAULT-
+        # precision recombine, 1/6 the passes) lands in exactly the
+        # precision class of the TPU gather path's default einsum
+        # (bf16(select(x)) == select(bf16(x))), so on TPU it is the
+        # honest default-equivalent mode. It stays OPT-IN because the
+        # first TPU run of a single-plane compile crashed the axon
+        # backend (tpu_compile_helper SIGABRT, NOTES.md; suspected
+        # [1, W] sub-sublane bf16 operand — now padded in the kernel,
+        # unvalidated on a live chip):
+        #   CORSAIR_BANDED_FAST=1   single-plane for ANY compute dtype
+        #   CORSAIR_BANDED_BF16=1   single-plane when compute_dtype=bf16
+        # exact 3-plane + HIGHEST mode is TPU-proven and reproduces the
+        # f32 gather formulation (CPU parity tests rely on it).
         import os
 
         exact = not (
-            compute_dtype is not None
-            and jnp.dtype(compute_dtype) == jnp.bfloat16
-            and os.environ.get("CORSAIR_BANDED_BF16", "0") == "1"
+            os.environ.get("CORSAIR_BANDED_FAST", "0") == "1"
+            or (
+                compute_dtype is not None
+                and jnp.dtype(compute_dtype) == jnp.bfloat16
+                and os.environ.get("CORSAIR_BANDED_BF16", "0") == "1"
+            )
         )
 
         def banded(f):

@@ -28,6 +28,22 @@ def _assert_cpu():
     yield
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA:CPU programs in one
+    process; past ~150 tests the CPU client segfaulted inside a
+    tf_XLAEigen worker (jump to ip 0 — a corrupted function pointer)
+    during a LATER compile, deterministically at the same test for a
+    given test sequence, while every module passes in isolation.
+    Bounding the number of live executables avoids the corruption
+    boundary; cross-module jit cache reuse was ~nil anyway (modules
+    compile different programs)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -279,3 +279,82 @@ class TestBandedPipeline:
         np.testing.assert_allclose(
             np.asarray(fb), np.asarray(fg), atol=2e-5
         )
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_banded_cin1_sublane_pad(exact):
+    """conv1-shaped Cin=1 exercises the sublane-pad guard (a [1, W] /
+    [3, W] bf16 selection operand is padded to a full 16-row tile —
+    the suspected trigger of the recorded TPU-compiler SIGABRT)."""
+    rng = np.random.RandomState(7)
+    n_in, n_out, k, cin, cout = 1500, 1024, 27, 1, 32
+    table_np = _grouped_table(rng, n_in, n_out, k)
+    feats = rng.randn(n_in, cin).astype(np.float32)
+    kernel = (rng.randn(k, cin, cout) * 0.1).astype(np.float32)
+    table = jnp.asarray(table_np)
+    starts, anyv, ok = banded_plan(table, n_in, 640)
+    assert bool(ok)
+    out = np.asarray(banded_conv_pallas(
+        jnp.asarray(feats), table, jnp.asarray(kernel), starts, anyv,
+        band=640, exact=exact, interpret=True,
+    ))
+    src = feats if exact else np.asarray(
+        jnp.asarray(feats).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    xp = np.concatenate([src, np.zeros((1, cin), np.float32)], 0)
+    oracle = np.einsum("knc,kcd->nd", xp[table_np], kernel)
+    tol = 1e-6 if exact else 1e-5
+    assert np.abs(out - oracle).max() <= tol * max(
+        1.0, np.abs(oracle).max()
+    )
+
+
+def test_banded_single_plane_matches_bf16_gather_class():
+    """Single-plane mode == select(bf16(x)) followed by the recombine
+    matmul: on the interpret backend (full-precision matmuls) it must
+    equal the gather formulation applied to bf16-rounded features."""
+    rng = np.random.RandomState(8)
+    n_in, n_out, k, cin, cout = 1500, 1024, 27, 32, 48
+    table_np = _grouped_table(rng, n_in, n_out, k)
+    feats = rng.randn(n_in, cin).astype(np.float32)
+    kernel = (rng.randn(k, cin, cout) * 0.1).astype(np.float32)
+    table = jnp.asarray(table_np)
+    starts, anyv, ok = banded_plan(table, n_in, 640)
+    assert bool(ok)
+    out = np.asarray(banded_conv_pallas(
+        jnp.asarray(feats), table, jnp.asarray(kernel), starts, anyv,
+        band=640, exact=False, interpret=True,
+    ))
+    rounded = np.asarray(
+        jnp.asarray(feats).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    xp = np.concatenate([rounded, np.zeros((1, cin), np.float32)], 0)
+    oracle = np.einsum("knc,kcd->nd", xp[table_np], kernel)
+    scale = max(1.0, np.abs(oracle).max())
+    assert np.abs(out - oracle).max() / scale < 1e-6
+
+
+def test_banded_fast_env_pipeline_close_to_f32(monkeypatch):
+    """CORSAIR_BANDED_FAST=1 routes f32 extraction through single-plane
+    selection (gather-path default precision class on TPU): descriptors
+    must stay within the bf16 conv error class of the exact path."""
+    import jax
+
+    from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+
+    rng = np.random.RandomState(9)
+    clouds = []
+    for _ in range(2):
+        p = rng.randn(400, 3).astype(np.float32)
+        p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-9)
+        g = np.floor(p / 0.06).astype(np.int32)
+        _, first = np.unique(g, axis=0, return_index=True)
+        clouds.append(g[np.sort(first)])
+    ex = FeatureExtractor(ExtractorConfig(banded_band=512))
+    params = ex.init_params(jax.random.PRNGKey(5))
+    _, d_exact = ex.extract_batch_np(params, clouds, capacity=1024)
+    monkeypatch.setenv("CORSAIR_BANDED_FAST", "1")
+    ex2 = FeatureExtractor(ExtractorConfig(banded_band=512))
+    _, d_fast = ex2.extract_batch_np(params, clouds, capacity=1024)
+    cos = np.sum(d_exact * d_fast, axis=1)
+    assert cos.min() > 0.999, cos.min()
