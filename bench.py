@@ -55,19 +55,23 @@ def _probe_accelerator(timeout_s: int = 300) -> bool:
     """
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return False
-    import subprocess
+    # Tempfile-backed probe (corsair_tpu.utils.compile_probe): a
+    # pipe-based subprocess.run can hang PAST its own timeout when a
+    # backend helper grandchild inherits the pipe — CPython's timeout
+    # path drains pipes with no bound. The probe module redirects child
+    # output to a file instead.
     import sys
 
-    code = ("import jax, jax.numpy as jnp; "
-            "print(int(jnp.ones((4,)).sum()))")
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True,
-        )
-        return out.returncode == 0 and out.stdout.strip().endswith("4")
-    except subprocess.TimeoutExpired:
-        return False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from corsair_tpu.utils.compile_probe import run_probe
+
+    res = run_probe(
+        "import jax, jax.numpy as jnp\n"
+        "assert int(jnp.ones((4,)).sum()) == 4\n"
+        "print('PROBE-OK')\n",
+        name="bench_backend_liveness", timeout_s=timeout_s, ledger=None,
+    )
+    return res.ok
 
 
 _CPU_FALLBACK = not _probe_accelerator()
@@ -270,6 +274,12 @@ def main():
         ransac=RansacConfig(num_hypotheses=N_HYPOTHESES, sample_size=10,
                             max_corr_dist=0.2),
     )
+    # The bench measures the DEPLOYED DEFAULT path (reference-faithful
+    # SymPose budget). CORSAIR_BENCH_FAST_SYMPOSE=1 A/Bs the opt-in
+    # fast() preset (decision-identical on the budget studies incl. the
+    # near-threshold reject-side fixtures) — read once here at startup.
+    if os.environ.get("CORSAIR_BENCH_FAST_SYMPOSE", "0") == "1":
+        sym_cfg = sym_cfg.fast()
 
     def extract_all(coords, valid):
         feats, descs, ovfs = [], [], []
@@ -478,6 +488,9 @@ def main():
         "vs_baseline_is_estimate": True,
         "platform": ("cpu-fallback" if _CPU_FALLBACK
                      else jax.devices()[0].platform),
+        # Machine-detectable fallback marker (VERDICT r3 #8): a
+        # cpu-fallback artifact must never read as a TPU measurement.
+        "degraded": bool(_CPU_FALLBACK),
         "phases": {k: round(v, 3) for k, v in phases.items()},
         "utilization": utilization,
         "library_extract_s": round(t_library, 3),

@@ -66,6 +66,11 @@ class Config:
     # runs force 1 ordered worker: mining consumes the global np.random
     # stream, and serial order is part of the protocol.
     prefetch_workers: int = 2
+    # opt-in SymPoseConfig.fast() preset (reduced Lloyd budget +
+    # subsampled ratio/CD prescores): decision-identical on the budget
+    # studies incl. near-threshold reject-side fixtures, ~10% faster
+    # registration. Defaults stay reference-faithful.
+    fast_sympose: bool = False
 
     def __post_init__(self):
         if self.category not in CATIDS:
@@ -99,6 +104,7 @@ def build_parser(script_dir: str) -> argparse.ArgumentParser:
     p.add_argument("--limit-scans", type=int, default=0)
     p.add_argument("--strict-protocol", action="store_true")
     p.add_argument("--prefetch-workers", type=int, default=2)
+    p.add_argument("--fast-sympose", action="store_true")
     return p
 
 
@@ -211,7 +217,16 @@ class App:
         n = len(self.dataset)
         batches = [range(s, min(s + bs, n)) for s in range(0, n, bs)]
         # strict mining consumes the global np.random stream: one
-        # ordered worker keeps it bit-identical to the serial run
+        # ordered worker keeps it bit-identical to the serial run.
+        # INVARIANT (advisor r3): bit-identity additionally requires
+        # that NOTHING on the main thread consumes np.random between
+        # item batches — the worker's draws must interleave exactly as
+        # the serial loop's would. The extraction/registration code
+        # below is fully keyed jax.random (grep-verified: no np.random
+        # use outside data mining), so the only global-stream consumer
+        # is the dataset itself; keep it that way, or give the dataset
+        # its own RandomState before adding np.random anywhere in this
+        # loop.
         workers = (1 if self.config.strict_protocol
                    else self.config.prefetch_workers)
         for items in prefetch_item_batches(
@@ -275,10 +290,13 @@ class App:
             self.lib_origins,
             cad_idx,
             syms,
-            SymPoseConfig(
-                k_nn=self.config.k_nn,
-                max_corr=self.config.max_corr,
-                ransac=RansacConfig(max_corr_dist=self.config.max_corr),
+            (lambda c: c.fast() if self.config.fast_sympose else c)(
+                SymPoseConfig(
+                    k_nn=self.config.k_nn,
+                    max_corr=self.config.max_corr,
+                    ransac=RansacConfig(
+                        max_corr_dist=self.config.max_corr),
+                )
             ),
             batch_size=self.config.reg_batch_size,
             progress=lambda done, total, k: self.logger.log(

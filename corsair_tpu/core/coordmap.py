@@ -372,6 +372,7 @@ class CoordinateManager:
         level_cap_ratios: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
         compact_keys: bool = True,
         fast_merge: Optional[bool] = None,
+        pallas_join: Optional[bool] = None,
     ):
         self.num_levels = num_levels
         self.kernel_size = kernel_size
@@ -396,6 +397,12 @@ class CoordinateManager:
         # |coord| <= COMPACT_SAFE_COORD (enforced loudly by the host
         # collate/pad helpers).
         self.fast_merge = fast_merge
+        # Pallas merge-join kernel selection inside the merge path:
+        # None = auto (accelerator backends only), True = force — on the
+        # CPU backend the kernel then runs in Pallas INTERPRET mode, so
+        # a virtual-mesh dryrun certifies the sharded program containing
+        # the DEPLOYED kernel, not the jnp fallback (VERDICT r3 #4).
+        self.pallas_join = pallas_join
 
     def build(self, grid: SparseGrid) -> UNetMaps:
         from corsair_tpu.core.sparse import COMPACT_MAX_BATCH
@@ -409,6 +416,9 @@ class CoordinateManager:
                 fast_merge = jax.default_backend() != "cpu"
             except RuntimeError:
                 fast_merge = False
+            # forcing the Pallas join implies the merge path that hosts
+            # it (dryrun-on-CPU certification of the deployed path)
+            fast_merge = fast_merge or bool(self.pallas_join)
         if use_compact and fast_merge:
             # CORSAIR_EQ_JOIN=1 selects the sort-free brute-force
             # equality-join builder (kernels/eq_join.py). Measured A/B
@@ -532,9 +542,12 @@ class CoordinateManager:
             overflows.append(ovf)
 
         try:
-            use_pallas = jax.default_backend() != "cpu"
+            on_cpu = jax.default_backend() == "cpu"
         except RuntimeError:
-            use_pallas = False
+            on_cpu = True
+        use_pallas = (not on_cpu if self.pallas_join is None
+                      else self.pallas_join)
+        interpret = use_pallas and on_cpu  # forced on CPU -> interpret
         if use_pallas:
             from corsair_tpu.core.kernels.merge_join import (
                 merge_join_pallas,
@@ -550,7 +563,8 @@ class CoordinateManager:
                 # whole merge+join in VMEM (log-n roll stages); the jnp
                 # fallback lowers each stage through HBM relayouts
                 res = merge_join_pallas(
-                    tbl["sk"], tbl["srows"], qk, tbl["sk"].shape[0]
+                    tbl["sk"], tbl["srows"], qk, tbl["sk"].shape[0],
+                    interpret=interpret,
                 )
             else:
                 res = bitonic_merge_join(

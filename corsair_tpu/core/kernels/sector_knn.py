@@ -21,6 +21,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Read once at import — see _feat_matmul_precision docstring.
+import os as _os
+_KNN_PRECISION_ENV = _os.environ.get("CORSAIR_KNN_PRECISION", "packed")
+_KNN_BITPACK_ENV = _os.environ.get("CORSAIR_KNN_BITPACK", "1") == "1"
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -36,10 +41,12 @@ def _feat_matmul_precision():
     near-tied neighbors. The deployed kernels use the packed-split
     single-pass dot (see ``_split3`` below) instead; this env knob keeps
     the plain-precision variant reachable for A/B runs
-    (scripts/bench_knn_kernels.py)."""
-    import os
-
-    name = os.environ.get("CORSAIR_KNN_PRECISION", "highest").upper()
+    (scripts/bench_knn_kernels.py). All CORSAIR_KNN_* knobs are read
+    ONCE at module import (advisor r3: a trace-time env read is baked
+    into the jit cache — toggling mid-process silently keeps the
+    previously traced variant and mislabels A/B runs); set them before
+    process start."""
+    name = _KNN_PRECISION_ENV.upper()
     if name == "PACKED":   # callers without a packed layout (sorted
         name = "HIGHEST"   # kernel) fall back to the 6-pass dot
     return getattr(jax.lax.Precision, name)
@@ -82,9 +89,7 @@ def _pack_targets(f1t):
 
 
 def _use_packed() -> bool:
-    import os
-
-    return os.environ.get("CORSAIR_KNN_PRECISION", "packed") == "packed"
+    return _KNN_PRECISION_ENV == "packed"
 
 
 def _distance_tile(f0, f1t_ref, f1sq_ref, packed):
@@ -464,9 +469,7 @@ def _kernel_slab(num_sectors, k, n_global, wp, packed, f0_ref, f1t_ref,
         (n_global + s * wp, n_global + (s + 1) * wp)
         for s in range(num_sectors)
     ]
-    import os
-
-    bitpack = os.environ.get("CORSAIR_KNN_BITPACK", "1") == "1"
+    bitpack = _KNN_BITPACK_ENV
     imax = jnp.int32(2**31 - 1)
     for slot, (lo, hi) in enumerate(spans):
         w = hi - lo

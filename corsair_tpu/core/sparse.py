@@ -119,7 +119,7 @@ COMPACT_COORD_RANGE = 256  # 9 bits signed: [-256, 255]
 # host collate/pad helpers enforce this loudly (a unit-normalized cloud at
 # voxel 0.03 spans roughly +-80, so real data has 3x headroom).
 COMPACT_SAFE_COORD = COMPACT_COORD_RANGE - 9
-_COMPACT_SENTINEL = jnp.uint32(0xFFFFFFFF)
+_COMPACT_SENTINEL = np.uint32(0xFFFFFFFF)  # np scalar: no device array at import
 
 
 def pack_key_compact(keys):

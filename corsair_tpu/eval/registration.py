@@ -128,6 +128,13 @@ def register_pairs(
     (``evaluation.py:285-332``): per query, the symmetry-aided and the
     vanilla RANSAC transform, their Chamfer distances and the
     sym-success flag (t/r losses are filled by the caller via eval_pose).
+
+    ``progress(done, total, num_sectors)`` fires at DISPATCH time:
+    result fetches are deferred until after the whole batch loop (they
+    would otherwise serialize against a ~30 ms tunnel RTT per fetch),
+    so reported progress runs ahead of device completion and a
+    device-side failure surfaces only after progress reports 100%.
+    Treat it as "work enqueued", not "work finished".
     """
     n = len(query_feats)
     sym_labels = np.asarray(sym_labels)

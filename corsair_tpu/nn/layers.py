@@ -17,19 +17,20 @@ EPS_BN = 1e-5  # torch BatchNorm default
 EPS_IN = 1e-5
 
 
-def _conv_fold() -> bool:
-    """Conv formulation A/B switch (trace-time constant).
+# Conv formulation A/B switch, read ONCE at import (env knobs read at
+# trace time get baked into the jit cache — toggling mid-process would
+# silently keep the previously traced variant for already-seen shapes
+# and mislabel A/B runs; advisor r3). Folding the offset axis into one
+# [N, K*Cin] @ [K*Cin, Cout] matmul looks MXU-friendlier but measured
+# 9% SLOWER end-to-end (1077 vs 987 ms / 16 clouds on v5e): the
+# [N, K]-layout gather interleaves offsets per output row, while the
+# [K, N] gather streams one offset's (mostly key-ordered) rows at a
+# time. The per-offset einsum stays the default; CORSAIR_CONV_FOLD=1
+# (set before process start) selects the folded form for
+# re-measurement on other topologies.
+import os as _os
 
-    Folding the offset axis into one [N, K*Cin] @ [K*Cin, Cout] matmul
-    looks MXU-friendlier but measured 9% SLOWER end-to-end (1077 vs
-    987 ms / 16 clouds on v5e): the [N, K]-layout gather interleaves
-    offsets per output row, while the [K, N] gather streams one offset's
-    (mostly key-ordered) rows at a time. The per-offset einsum stays the
-    default; CORSAIR_CONV_FOLD=1 selects the folded form for
-    re-measurement on other topologies."""
-    import os
-
-    return os.environ.get("CORSAIR_CONV_FOLD", "0") == "1"
+_CONV_FOLD = _os.environ.get("CORSAIR_CONV_FOLD", "0") == "1"
 
 
 def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
@@ -40,15 +41,25 @@ def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
     Optional ``params['bias']``: [Cout]. ``compute_dtype=jnp.bfloat16``
     halves gather/matmul bandwidth on the MXU; accumulation stays f32.
 
-    ``plan`` (``(starts, any_valid, ok, band)`` from
+    ``plan`` (``(starts, any_valid, ok, band, exact)`` from
     ``nn.resunet.make_banded_plans``) routes through the banded one-hot
     MXU kernel — 2.5-3.7x faster than the gather formulation and
     f32-exact (core/kernels/banded_conv.py) — with a ``lax.cond``
     fallback to the gather path when the per-batch coverage check
-    failed (unsorted layouts, oversized windows). With a bf16
-    ``compute_dtype`` the banded selection drops to its single-plane
-    bf16 mode (3x cheaper — the same precision class the bf16 gather
-    path runs at).
+    failed (unsorted layouts, oversized windows).
+
+    The plan's ``exact=False`` selects single-plane bf16 selection (3x
+    cheaper selection + DEFAULT-precision recombine, 1/6 the passes) —
+    exactly the precision class of the TPU gather path's default einsum
+    (bf16(select(x)) == select(bf16(x))). Callers resolve the flag at
+    CONSTRUCTION time (pipeline.FeatureExtractor reads the
+    CORSAIR_BANDED_FAST / CORSAIR_BANDED_BF16 env knobs once there) —
+    an env read here, inside the traced function, would be baked into
+    the jit cache and silently ignore mid-process toggles (advisor r3).
+    Single-plane stays opt-in because its first TPU compile crashed the
+    axon backend (tpu_compile_helper SIGABRT, NOTES.md; suspected
+    [1, W] sub-sublane bf16 operand — now padded in the kernel,
+    pending on-chip validation via the contained probe sweep).
     """
     kernel = params["kernel"]
     if plan is not None:
@@ -56,30 +67,7 @@ def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
             banded_conv_pallas,
         )
 
-        starts, anyv, ok, band = plan
-        # Single-plane bf16 selection (3x cheaper selection + DEFAULT-
-        # precision recombine, 1/6 the passes) lands in exactly the
-        # precision class of the TPU gather path's default einsum
-        # (bf16(select(x)) == select(bf16(x))), so on TPU it is the
-        # honest default-equivalent mode. It stays OPT-IN because the
-        # first TPU run of a single-plane compile crashed the axon
-        # backend (tpu_compile_helper SIGABRT, NOTES.md; suspected
-        # [1, W] sub-sublane bf16 operand — now padded in the kernel,
-        # unvalidated on a live chip):
-        #   CORSAIR_BANDED_FAST=1   single-plane for ANY compute dtype
-        #   CORSAIR_BANDED_BF16=1   single-plane when compute_dtype=bf16
-        # exact 3-plane + HIGHEST mode is TPU-proven and reproduces the
-        # f32 gather formulation (CPU parity tests rely on it).
-        import os
-
-        exact = not (
-            os.environ.get("CORSAIR_BANDED_FAST", "0") == "1"
-            or (
-                compute_dtype is not None
-                and jnp.dtype(compute_dtype) == jnp.bfloat16
-                and os.environ.get("CORSAIR_BANDED_BF16", "0") == "1"
-            )
-        )
+        starts, anyv, ok, band, exact = plan
 
         def banded(f):
             return banded_conv_pallas(
@@ -102,7 +90,7 @@ def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
     x_pad = jnp.concatenate(
         [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0
     )
-    if _conv_fold():
+    if _CONV_FOLD:
         # Fold the offset axis into the contraction: one [N, K*Cin] @
         # [K*Cin, Cout] matmul instead of K matmuls with a C-sized
         # (32-64) contraction (the MXU wants contractions >= 128; 864

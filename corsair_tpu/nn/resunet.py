@@ -23,6 +23,7 @@ from ``CoordinateManager``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -61,6 +62,10 @@ class ResUNetConfig:
     # 27-offset conv through the banded kernel with a per-batch
     # lax.cond fallback to the gather path when coverage fails.
     banded_band: int = 0
+    # False = single-plane bf16 selection (see layers.sparse_conv) —
+    # resolved at CONSTRUCTION time by pipeline.FeatureExtractor from
+    # the CORSAIR_BANDED_FAST/BF16 env knobs, never inside a trace.
+    banded_exact: bool = True
 
 
 # CHANNELS / TR_CHANNELS per variant (model/resunet.py:283-333).
@@ -154,22 +159,34 @@ def init_params(key, cfg: ResUNetConfig):
     return p
 
 
-def make_banded_plans(maps: UNetMaps, band: int, ngroups: int = 0):
+# A/B knobs for make_banded_plans, read ONCE at import (a trace-time
+# env read is baked into the jit cache; toggling mid-process would
+# silently keep the old variant — advisor r3). Both are only meant to
+# be set before process start (env X=.. python bench.py).
+_BANDED_GROUPS_ENV = int(os.environ.get("CORSAIR_BANDED_GROUPS", "0"))
+_BANDED_DOWN_BAND_ENV = int(
+    os.environ.get("CORSAIR_BANDED_DOWN_BAND", "0"))
+
+
+def make_banded_plans(maps: UNetMaps, band: int, ngroups: int = 0,
+                      exact: bool = True):
     """Per-table banded-conv plans for ``forward`` (None entries =
     gather path). Runs inside the forward jit — cheap reductions over
     the tables — so coverage is re-checked per batch; ``sparse_conv``
     falls back via ``lax.cond`` when a batch's layout doesn't band.
 
     ``ngroups``: kernel-offset grouping granularity (0 = env knob
-    ``CORSAIR_BANDED_GROUPS``, default 3). 3 groups offsets by their
-    dim-0 (x) component; 9 groups by (x, y) — each group's source
-    window then jumps only with z-steps (<~60 rows at bench scale), so
-    the covering band (and with it the selection-matmul work, linear in
-    band width) shrinks to ~tile + jitter + alignment. The per-group
-    band DMA count rises 3 -> 9; selection FLOPs fall with the band.
-    """
-    import os
+    ``CORSAIR_BANDED_GROUPS`` read at import, default 3). 3 groups
+    offsets by their dim-0 (x) component; 9 groups by (x, y) — each
+    group's source window then jumps only with z-steps (<~60 rows at
+    bench scale), so the covering band (and with it the
+    selection-matmul work, linear in band width) shrinks to ~tile +
+    jitter + alignment. The per-group band DMA count rises 3 -> 9;
+    selection FLOPs fall with the band.
 
+    ``exact``: threaded into each plan tuple; False = single-plane
+    bf16 selection (layers.sparse_conv docstring).
+    """
     from corsair_tpu.core.kernels.banded_conv import (
         NGROUPS,
         TILE,
@@ -177,16 +194,14 @@ def make_banded_plans(maps: UNetMaps, band: int, ngroups: int = 0):
     )
 
     if ngroups <= 0:
-        ngroups = int(os.environ.get("CORSAIR_BANDED_GROUPS", NGROUPS))
+        ngroups = _BANDED_GROUPS_ENV or NGROUPS
     # Down tables need a wider band than self/up tables: a stride-2
     # output tile maps to ~2x the fine-row span. 2*band (768 at the
     # deployed 384) leaves the L2 down spread (~812 measured at bench
     # shapes, scripts/study_band_groups.py) uncovered — that conv then
     # silently lax.conds to the gather path every batch — while
     # 896 = round_up(812, 128) recovers it onto the MXU path.
-    band_down = int(os.environ.get(
-        "CORSAIR_BANDED_DOWN_BAND", max(2 * band, 896)
-    ))
+    band_down = _BANDED_DOWN_BAND_ENV or max(2 * band, 896)
 
     def mk(table, n_in, b):
         if table is None or b <= 0:
@@ -195,7 +210,7 @@ def make_banded_plans(maps: UNetMaps, band: int, ngroups: int = 0):
         if n_out % TILE or k % ngroups or k < ngroups:
             return None
         starts, anyv, ok = banded_plan(table, n_in, b, ngroups=ngroups)
-        return (starts, anyv, ok, b)
+        return (starts, anyv, ok, b, exact)
 
     L = maps.levels
     plans = []
@@ -254,7 +269,8 @@ def forward(params, grid: SparseGrid, maps: UNetMaps, cfg: ResUNetConfig,
     nb = grid.num_batches
     nt, bt = cfg.norm_type, cfg.block_norm_type
     if cfg.banded_band:
-        P = make_banded_plans(maps, cfg.banded_band)
+        P = make_banded_plans(maps, cfg.banded_band,
+                              exact=cfg.banded_exact)
     else:
         P = [{"self": None, "down": None, "up": None} for _ in L]
 

@@ -14,10 +14,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from corsair_tpu.ops.knn import pairwise_sqdist
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np scalar: no device array at import
 
 
 def _use_pallas(n1: int) -> bool:

@@ -11,10 +11,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from corsair_tpu.ops.knn import pairwise_sqdist, small_topk_min
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np scalar: no device array at import
 
 
 def find_kcorr(F0, F1, k: int, v0=None, v1=None, chunk: int = 1024):
@@ -73,6 +74,20 @@ def find_corr(key, xyz0, xyz1, F0, F1, subsample_size: int = -1,
     return xyz0[idx0], xyz1[idx1]
 
 
+# kNN kernel-selection A/B knobs, read ONCE at import (advisor r3: a
+# trace-time env read is baked into the jit cache; toggling mid-process
+# silently keeps the previously traced variant for already-seen shapes
+# and mislabels A/B measurements). Set them before process start
+# (env CORSAIR_MERGED_KNN=1 python bench.py).
+import os as _os
+
+_SLAB_KNN_ENV = _os.environ.get("CORSAIR_SLAB_KNN", "1") == "1"
+_SLAB_ALPHA_ENV = float(_os.environ.get("CORSAIR_SLAB_ALPHA", "1.5"))
+_SLAB_TILE_ENV = int(_os.environ.get("CORSAIR_SLAB_TILE", "128"))
+_MERGED_KNN_ENV = _os.environ.get("CORSAIR_MERGED_KNN", "0") == "1"
+_SORTED_KNN_ENV = _os.environ.get("CORSAIR_SORTED_KNN", "0") == "1"
+
+
 def _use_pallas_sector_knn(n1: int) -> bool:
     """Pallas fast path: TPU backend and a distance tile that fits VMEM."""
     try:
@@ -100,12 +115,10 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
     if use_pallas is None:
         use_pallas = _use_pallas_sector_knn(F1.shape[0])
     if use_pallas:
-        import os
-
         tile = 64 if F1.shape[0] <= 8192 else 32
         if (include_global and num_sectors > 1
                 and F1.shape[0] >= 4096
-                and os.environ.get("CORSAIR_SLAB_KNN", "1") == "1"):
+                and _SLAB_KNN_ENV):
             # Slab-layout kernel: full-width global region + equal-width
             # sector slabs. Measured on v5e at [8, 16384], K=4, k=5 with
             # packed-split dots: 108 ms vs 126 ms fused (alpha=1.5);
@@ -116,12 +129,24 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
                 slab_sector_knn_pallas,
             )
 
-            alpha = float(os.environ.get("CORSAIR_SLAB_ALPHA", "1.5"))
+            alpha = _SLAB_ALPHA_ENV
             # per-span d2 + bit-packed extraction measured best at
             # tile=128 (99 vs 104 ms at [8, 16384] — the whole-layout
             # d2 form that forced tile=32 is gone)
-            slab_tile = int(os.environ.get("CORSAIR_SLAB_TILE", "128"))
-            if os.environ.get("CORSAIR_MERGED_KNN", "0") == "1":
+            slab_tile = _SLAB_TILE_ENV
+            if not return_spill:
+                # A slab layout can DROP members of an oversized sector
+                # (its top-k is then incomplete) and the spill flag is
+                # the only signal. Today's sole include_global caller
+                # (sym_pose) passes return_spill=True; refuse rather
+                # than let a future caller silently consume spilled
+                # sector results (advisor r3).
+                raise ValueError(
+                    "slab sector-kNN requires return_spill=True (the "
+                    "spill flag marks incomplete sector top-k); pass "
+                    "return_spill=True or use_pallas=False"
+                )
+            if _MERGED_KNN_ENV:
                 from corsair_tpu.core.kernels.sector_knn import (
                     merged_slab_sector_knn_pallas,
                 )
@@ -130,15 +155,15 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
                     F0, F1, sector1, num_sectors, k, v1=v1,
                     tile=slab_tile, alpha=alpha,
                 )
-                return (idx, ok, spill) if return_spill else (idx, ok)
+                return idx, ok, spill
             idx, ok, spill = slab_sector_knn_pallas(
                 F0, F1, sector1, num_sectors, k, v1=v1, tile=slab_tile,
                 alpha=alpha,
             )
-            return (idx, ok, spill) if return_spill else (idx, ok)
+            return idx, ok, spill
         if (not include_global and num_sectors > 1
                 and F1.shape[0] >= 4096
-                and os.environ.get("CORSAIR_SORTED_KNN", "0") == "1"):
+                and _SORTED_KNN_ENV):
             # Sector-sorted chunk-skipping kernel (CORSAIR_SORTED_KNN=1,
             # measured LOSER): group targets by sector so each sector's
             # extraction scans ~N/K contiguous columns instead of N.

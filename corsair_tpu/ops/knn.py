@@ -15,8 +15,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np scalar: no device array at import
 
 
 def valid_first_order(valid):

@@ -35,7 +35,7 @@ from corsair_tpu.ops.ransac import (
     ransac_correspondences_multi,
 )
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np scalar: no device array at import
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,24 +47,19 @@ class SymPoseConfig:
     rank_window: int = 50           # local_rank < 50, utils/symmetry.py:214
     center_dist_thresh: float = 0.15
     cluster_err_thresh: float = 0.15
-    # KMeans budget per candidate. Measured on synthetic sym/asym
-    # clouds at bench shapes (scripts/study_symcut_budget.py + NOTES.md
-    # round-3 log): accept decisions and the winning partition are
-    # INSENSITIVE to restarts/iters — (100 cand, 4 restarts, 10 iters)
-    # decides identically to the reference-faithful (100, 10, 25) on
-    # all 32 study clouds (Lloyd on a 50-point window converges in a
-    # few iters). max_sample stays at the reference's 100: the study's
-    # acceptance test almost never rejects on synthetics, so the
-    # reject-side sensitivity to FEWER seed candidates is unmeasured
-    # and 100 is the only budget provably equivalent to the reference
-    # protocol (utils/symmetry.py:198-236, early-exit over <=100 seeds).
-    kmeans_iters: int = 10
-    kmeans_restarts: int = 4
+    # KMeans budget per candidate. DEFAULTS ARE REFERENCE-FAITHFUL
+    # (sklearn KMeans n_init=10, Lloyd converges well under 25 iters on
+    # a 50-point window; utils/symmetry.py:216). A measured reduced
+    # budget exists as the opt-in ``fast()`` preset below — defaults do
+    # not deviate from the reference protocol (advisor round-3 medium).
+    kmeans_iters: int = 25
+    kmeans_restarts: int = 10
     # Sector-occupancy ratios (the candidate score, utils/symmetry.py
     # :234-236) are estimated on this many valid points instead of all
-    # N: acceptance never reads them (centers + seed window only), so
-    # only near-tied winner selection can differ.
-    ratio_subsample: int = 2048
+    # N; acceptance never reads them (centers + seed window only), so
+    # only near-tied winner selection can differ. <= 0 = full cloud
+    # (reference-faithful, the default).
+    ratio_subsample: int = 0
     ransac: RansacConfig = RansacConfig(num_hypotheses=4096, sample_size=10)
     # Two-stage candidate Chamfer scoring: all S shift candidates are
     # pre-scored on a cd_prescore_sample-point valid subsample of the
@@ -75,8 +70,9 @@ class SymPoseConfig:
     # when two shifts' true CDs are within the ~N(0, cd/sqrt(m))
     # subsample noise — i.e. near-ties where either choice is equally
     # good; the REPORTED cd values are always exact. 0 disables
-    # (exact-all, the reference-faithful budget, utils/symmetry.py:330).
-    cd_prescore_sample: int = 2048
+    # (exact-all, the reference-faithful budget, utils/symmetry.py:330
+    # — and the default).
+    cd_prescore_sample: int = 0
     cd_prescore_keep: int = 2
     # Fold the S+1 candidate RANSACs into one hypothesis/scoring stream
     # (ransac_correspondences_multi): one sampling draw, one batched
@@ -89,6 +85,25 @@ class SymPoseConfig:
     def num_shifts(self) -> int:
         # 4 cyclic + 4 reflected-cyclic for K=4; 2 cyclic for K=2
         return 2 * self.num_sectors if self.num_sectors == 4 else 2
+
+    def fast(self) -> "SymPoseConfig":
+        """Measured reduced-budget preset (OPT-IN; defaults stay
+        reference-faithful).
+
+        Validation (scripts/study_symcut_budget.py): the reduced Lloyd
+        budget (4 restarts x 10 iters vs the faithful 10 x 25) decides
+        identically to the full budget on 32 bench-shaped sym/asym
+        clouds AND on the near-threshold accept/reject sweep
+        (``--near-threshold``: blob clouds straddling the 0.15
+        center-distance and cluster-error gates at +-20%% margins —
+        the reject side the round-3 study did not exercise).
+        ratio_subsample / cd_prescore only perturb near-tied winner
+        selection (their docstrings above); reported CDs stay exact.
+        """
+        return dataclasses.replace(
+            self, kmeans_iters=10, kmeans_restarts=4,
+            ratio_subsample=2048, cd_prescore_sample=2048,
+        )
 
 
 def shift_permutations(num_sectors: int) -> np.ndarray:
@@ -127,8 +142,10 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
     cand = order[raw % n_valid]  # random valid seed points
 
     # ratio-score subsample (see SymPoseConfig.ratio_subsample): valid
-    # rows first, so row i of the subsample is valid iff i < n_valid
-    s_sub = min(config.ratio_subsample, n)
+    # rows first, so row i of the subsample is valid iff i < n_valid.
+    # <= 0 means the full cloud (reference-faithful default).
+    s_sub = n if config.ratio_subsample <= 0 else min(
+        config.ratio_subsample, n)
     xyz_sub = xyz[order[:s_sub]]
     sub_valid = jnp.arange(s_sub) < n_valid
     n_sub = jnp.maximum(jnp.sum(sub_valid), 1)
@@ -173,15 +190,26 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
             for i in range(K)
         ])
         nn_label = kmeans_predict(centers, nns)
+        # Per-cluster mean distance to center. The reference's
+        # ``nns[nn_label == l].mean()`` is nan for an EMPTY cluster
+        # (sklearn relocates empty clusters so it never hits this; our
+        # fixed-iteration Lloyd can leave one empty), and nan fails the
+        # ``0.15 > max(error)`` gate — so score an empty cluster as
+        # +inf to reject the degenerate fit rather than 0 (which would
+        # make the candidate MORE acceptable than any real fit).
+        counts = jnp.array([
+            jnp.sum((nn_label == i) & nns_valid) for i in range(K)
+        ])
         err = jnp.array([
             jnp.sum(
                 jnp.where(
                     (nn_label == i) & nns_valid,
                     jnp.linalg.norm(nns - centers[i], axis=1), 0.0,
                 )
-            ) / jnp.maximum(jnp.sum((nn_label == i) & nns_valid), 1)
+            ) / jnp.maximum(counts[i], 1)
             for i in range(K)
         ])
+        err = jnp.where(counts > 0, err, _BIG)
         accept = (cdist.min() > config.center_dist_thresh) & (
             jnp.max(err) < config.cluster_err_thresh
         )

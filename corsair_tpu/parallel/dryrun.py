@@ -59,7 +59,17 @@ def dryrun_inference(n_devices: int, cap: int = 2048, seed: int = 0):
     B = n_devices
     rng = np.random.RandomState(seed)
 
-    extractor = FeatureExtractor(ExtractorConfig())
+    # DEPLOYED kernel path (VERDICT r3 #4): banded one-hot MXU conv +
+    # Pallas merge-join, explicitly enabled so they run in Pallas
+    # INTERPRET mode on the virtual CPU mesh — the dryrun then
+    # certifies the sharded program containing the kernels the real
+    # TPU pipeline executes, not the gather/jnp fallbacks. The
+    # single-device parity reference below shares the same config, and
+    # extraction parity vs the fallback path is covered by
+    # tests/test_banded_conv.py + test_merge_join.py.
+    extractor = FeatureExtractor(ExtractorConfig(
+        banded_band=384, pallas_join=True,
+    ))
     params = extractor.init_params(jax.random.PRNGKey(seed))
 
     def rand_cloud():
@@ -134,7 +144,13 @@ def dryrun_train_step(n_devices: int, batch_per_device: int = 1,
     n_data = n_devices // n_model
     B = n_data * batch_per_device
 
-    extractor = FeatureExtractor(ExtractorConfig())
+    # Deployed kernel path in interpret mode (see dryrun_inference):
+    # training through the banded conv additionally exercises its
+    # custom VJP inside the sharded grad program. cap=128 == the banded
+    # TILE, so per-cloud plans stay valid under the vmapped forward.
+    extractor = FeatureExtractor(ExtractorConfig(
+        banded_band=384, pallas_join=True,
+    ))
     key = jax.random.PRNGKey(seed)
     params = extractor.init_params(key)
     params = shard_params(params, mesh)

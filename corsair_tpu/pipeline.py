@@ -51,8 +51,14 @@ class ExtractorConfig:
     # per-batch lax.cond fallback when layouts don't band (unsorted
     # inputs). None = auto: 512 on accelerator backends, off on CPU
     # (Mosaic kernels don't compile there). 0 = force off
-    # (CORSAIR_BANDED=0 env overrides to off as well).
+    # (CORSAIR_BANDED=0 env overrides to off as well). Setting it
+    # explicitly on the CPU backend runs the kernel in Pallas interpret
+    # mode (used by the multichip dryrun to certify the deployed path).
     banded_band: Optional[int] = None
+    # Pallas merge-join selection for the coordinate manager: None =
+    # auto (accelerators only), True = force (interpret mode on CPU —
+    # dryrun use). See core.coordmap.CoordinateManager.
+    pallas_join: Optional[bool] = None
 
 
 class FeatureExtractor:
@@ -72,6 +78,18 @@ class FeatureExtractor:
             banded = 0
         elif "CORSAIR_BANDED_BAND" in os.environ:  # A/B knob
             banded = int(os.environ["CORSAIR_BANDED_BAND"])
+        cdtype = (None if config.compute_dtype is None
+                  else jnp.dtype(config.compute_dtype))
+        # Single-plane banded selection knobs, resolved ONCE here at
+        # construction (never inside a trace — a trace-time env read is
+        # baked into the jit cache and silently ignores mid-process
+        # toggles; advisor r3). banded_exact is part of the static
+        # model config, so a different value is a different trace.
+        banded_exact = not (
+            os.environ.get("CORSAIR_BANDED_FAST", "0") == "1"
+            or (cdtype == jnp.bfloat16
+                and os.environ.get("CORSAIR_BANDED_BF16", "0") == "1")
+        )
         self.model_cfg = resunet.make_config(
             config.model_name,
             in_channels=config.in_channels,
@@ -79,19 +97,21 @@ class FeatureExtractor:
             bn_momentum=config.bn_momentum,
             conv1_kernel_size=config.conv1_kernel_size,
             normalize_feature=config.normalize_feature,
-            compute_dtype=(None if config.compute_dtype is None
-                           else jnp.dtype(config.compute_dtype)),
+            compute_dtype=cdtype,
             banded_band=banded,
+            banded_exact=banded_exact,
         )
         self.manager = CoordinateManager(
-            num_levels=4, level_cap_ratios=config.level_cap_ratios
+            num_levels=4, level_cap_ratios=config.level_cap_ratios,
+            pallas_join=config.pallas_join,
         )
         self._manager_cache = {config.level_cap_ratios: self.manager}
 
     def _manager_for(self, ratios: Tuple[float, ...]) -> CoordinateManager:
         if ratios not in self._manager_cache:
             self._manager_cache[ratios] = CoordinateManager(
-                num_levels=4, level_cap_ratios=ratios
+                num_levels=4, level_cap_ratios=ratios,
+                pallas_join=self.config.pallas_join,
             )
         return self._manager_cache[ratios]
 

@@ -1,25 +1,33 @@
 #!/bin/bash
-# Round-3 pending on-chip measurements (NOTES.md checklist), in order of
-# value. Run when /tmp/tpu_status.txt says TPU-UP. Logs to
-# logs/on_chip_r3.log. The crash-risky single-plane bf16 diagnosis
-# (scripts/diagnose_banded_bf16.py) is deliberately NOT here — run it
-# manually LAST, after everything else is measured.
+# Pending on-chip measurements (round-3 queue, run in round 4), in
+# order of value. Run when /tmp/tpu_status.txt says TPU-UP. Logs to
+# logs/on_chip_r4.log.
+#
+# COMPILE-CONTAINMENT DISCIPLINE (VERDICT r3 #3): any new (kernel,
+# dtype, shape-class) combination compiles first in a sacrificial
+# subprocess with a hard timeout (corsair_tpu/utils/compile_probe.py);
+# only probed configs run in-process. Step 7 below enforces it: the
+# single-plane bench A/B only runs if the contained compile sweep
+# passed. A SIGABRT in a probe subprocess leaves the parent alive and
+# is recorded in logs/probe_ledger.jsonl.
 set -u
 cd "$(dirname "$0")/.."
-LOG=logs/on_chip_r3.log
+LOG=logs/on_chip_r4.log
 run() {
   echo "=== $* $(date +%H:%M:%S) ===" | tee -a "$LOG"
   local out rc
   out=$(timeout 3000 "$@" 2>&1)
   rc=$?
-  echo "$out" | tail -20 | tee -a "$LOG"
+  echo "$out" | tail -24 | tee -a "$LOG"
   echo "--- rc=$rc $(date +%H:%M:%S) ---" | tee -a "$LOG"
+  return $rc
 }
 
 # 1. isolated kNN kernel A/B + merged-kernel parity on chip
 run python scripts/bench_knn_kernels.py
 
-# 2. protocol bench at the new deployed defaults (down-band 896)
+# 2. protocol bench at the deployed defaults (down-band 896,
+#    reference-faithful SymPose budget)
 run python bench.py
 
 # 3. merged-global sector-kNN in-program
@@ -32,13 +40,22 @@ run env CORSAIR_BANDED_DOWN_BAND=768 python bench.py
 # 5. bf16 end-to-end with the banded conv (exact 3-plane selection)
 run env CORSAIR_BENCH_BF16=1 python bench.py
 
+# 5b. opt-in fast() SymPose preset A/B (reduced Lloyd budget +
+#     subsampled prescores; decision-identical on the budget studies
+#     incl. the near-threshold reject-side fixtures)
+run env CORSAIR_BENCH_FAST_SYMPOSE=1 python bench.py
+
 # 6. sharded pipeline through the real TPU kernels
 run python scripts/mesh_smoke.py
 
-# 7. RISKY LAST (can kill the backend — same class as the recorded
-#    SIGABRT): single-plane selection compile sweep with the new
-#    sublane-pad guard, then the single-plane bench A/B. Expected if
-#    the guard holds: selection FLOPs /3 and recombine passes /6 =>
-#    a large extraction win at gather-path precision class.
-run python scripts/diagnose_banded_bf16.py
-run env CORSAIR_BANDED_FAST=1 python bench.py
+# 7. single-plane selection: contained compile sweep FIRST (each
+#    config in its own subprocess — a SIGABRT cannot take this script
+#    or the backend handle down with it), bench A/B only on a clean
+#    sweep. Expected if the sublane-pad guard holds: selection FLOPs
+#    /3 and recombine passes /6 => a large extraction win at
+#    gather-path precision class.
+if run python scripts/diagnose_banded_bf16.py; then
+  run env CORSAIR_BANDED_FAST=1 python bench.py
+else
+  echo "single-plane sweep FAILED - skipping in-process A/B" | tee -a "$LOG"
+fi

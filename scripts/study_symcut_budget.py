@@ -102,12 +102,79 @@ def rand_index(a, b, v, pairs=20000, rng=None):
     return float(np.mean((a[i] == a[j]) == (b[i] == b[j])))
 
 
+def near_threshold_mode(args):
+    """Reject-side budget sensitivity (VERDICT r3 weak #6 follow-up):
+    blob clouds straddling the 0.15 center-distance and cluster-error
+    acceptance gates at ~10-25% margins (tests/test_symmetry.py
+    ``TestSymmetricCutNearThreshold`` fixtures, scaled up to --rounds x
+    8 clouds per case). Reports accept-decision agreement between the
+    reference-faithful Lloyd budget (10 restarts x 25 iters) and the
+    fast() preset (4 x 10) in exactly the regime where the round-3
+    study could not separate them (its clouds almost always accepted).
+    """
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from test_symmetry import TestSymmetricCutNearThreshold, _blob_cloud
+
+    from corsair_tpu.ops.symmetry import SymPoseConfig, symmetric_cut
+
+    rng = np.random.RandomState(1)
+    cases = TestSymmetricCutNearThreshold.CASES
+    budgets = [(25, 10), (10, 4)]
+    print(f"{'case':30s} {'expect':>6s} " +
+          " ".join(f"{b}" for b in budgets))
+    total = {b: 0 for b in budgets}
+    agree = {b: 0 for b in budgets}
+    for K, radius, sigma, expect in cases:
+        rows = []
+        for r in range(args.rounds):
+            xyz, feat = _blob_cloud(rng, K, radius, sigma)
+            key = jax.random.PRNGKey(100 + r)
+            got = {}
+            for (it, rs) in budgets:
+                cfg = SymPoseConfig(num_sectors=K, max_sample=40,
+                                    kmeans_iters=it, kmeans_restarts=rs)
+                _, ok = symmetric_cut(
+                    key, jnp.asarray(feat), jnp.asarray(xyz),
+                    jnp.ones(len(xyz), bool), cfg,
+                )
+                got[(it, rs)] = bool(ok)
+                total[(it, rs)] += 1
+                agree[(it, rs)] += int(bool(ok) == expect)
+            rows.append(got)
+        marks = [
+            "".join("T" if row[b] else "f" for row in rows)
+            for b in budgets
+        ]
+        print(f"K={K} R={radius} sig={sigma:20} {str(expect):>6s} " +
+              " ".join(marks))
+    for b in budgets:
+        print(f"budget iters={b[0]} restarts={b[1]}: "
+              f"{agree[b]}/{total[b]} decisions match expectation")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--cap", type=int, default=16384)
     p.add_argument("--rounds", type=int, default=4)
+    p.add_argument("--near-threshold", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the JAX_PLATFORMS env "
+                        "var alone is overridden by sitecustomize)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.near_threshold:
+        return near_threshold_mode(args)
 
     import jax
     import jax.numpy as jnp

@@ -149,9 +149,13 @@ def test_nine_group_plan_covers_tighter_band():
 
 def test_make_banded_plans_groups_env(rng, monkeypatch):
     """CORSAIR_BANDED_GROUPS=9 routes the deployed pipeline through
-    9-group plans with unchanged outputs (interpret mode)."""
+    9-group plans with unchanged outputs (interpret mode). The knob is
+    read once at module import (advisor r3: trace-time env reads get
+    baked into the jit cache), so the test patches the module constant
+    — the import-time binding it feeds."""
     import jax
 
+    from corsair_tpu.nn import resunet
     from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
 
     pts = rng.randn(400, 3).astype(np.float32)
@@ -163,7 +167,7 @@ def test_make_banded_plans_groups_env(rng, monkeypatch):
     ex_g = FeatureExtractor(ExtractorConfig(banded_band=0))
     params = ex_g.init_params(jax.random.PRNGKey(0))
     fg, dg = ex_g.extract_batch_np(params, [cloud], capacity=1024)
-    monkeypatch.setenv("CORSAIR_BANDED_GROUPS", "9")
+    monkeypatch.setattr(resunet, "_BANDED_GROUPS_ENV", 9)
     ex_b = FeatureExtractor(ExtractorConfig(banded_band=256))
     fb, db = ex_b.extract_batch_np(params, [cloud], capacity=1024)
     np.testing.assert_allclose(db, dg, atol=2e-5)
@@ -214,13 +218,17 @@ class TestBandedPipeline:
 
         clouds = self._clouds(rng)
         ex_f = FeatureExtractor(ExtractorConfig(banded_band=512))
-        ex_b = FeatureExtractor(ExtractorConfig(
-            banded_band=512, compute_dtype="bfloat16"
-        ))
         params = ex_f.init_params(jax.random.PRNGKey(3))
         _, df = ex_f.extract_batch_np(params, clouds, capacity=1024)
+        # The knob is resolved ONCE at FeatureExtractor construction
+        # (advisor r3: no trace-time env reads), so it must be set
+        # before the extractor is built.
         os.environ["CORSAIR_BANDED_BF16"] = "1"
         try:
+            ex_b = FeatureExtractor(ExtractorConfig(
+                banded_band=512, compute_dtype="bfloat16"
+            ))
+            assert not ex_b.model_cfg.banded_exact
             _, db = ex_b.extract_batch_np(params, clouds, capacity=1024)
         finally:
             del os.environ["CORSAIR_BANDED_BF16"]

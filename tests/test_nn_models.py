@@ -152,6 +152,23 @@ class TestRegistry:
         with pytest.raises(KeyError):
             load_model("NoSuchNet")
 
+    @pytest.mark.parametrize("name", ["ResNet14", "ResNet50"])
+    def test_resnet_forward(self, rng, name):
+        """Registry smoke for the sparse ResNet classifier family
+        (``model/resnet.py:25-157``; unused by the eval protocol but
+        registry-visible — VERDICT r3 #8: zero suite coverage before).
+        ResNet50 exercises the deeper layer plan + strided projections."""
+        grid, _ = _make_grid(rng, n_clouds=2, n_pts=200, cap=512)
+        d = load_model(name)
+        cfg = d.make_config(in_channels=1, out_channels=40)
+        params = d.init(jax.random.PRNGKey(0), cfg)
+        logits = d.forward(params, grid, cfg)
+        logits = np.asarray(logits)
+        assert logits.shape == (grid.num_batches, 40)
+        assert np.isfinite(logits).all()
+        # per-sample global pool: two different clouds -> different rows
+        assert not np.allclose(logits[0], logits[1])
+
     def test_simpleunet_forward(self, rng):
         grid, _ = _make_grid(rng, n_clouds=1, n_pts=200, cap=512)
         d = load_model("SimpleNetBN")

@@ -399,7 +399,7 @@ class TestRansacScoreMatmul:
 
 
 class TestSectorKnnSorted:
-    def test_matches_xla_reference(self, rng):
+    def test_matches_xla_reference(self, rng, monkeypatch):
         """Chunk-skipping sector-sorted kernel (dispatched through
         find_kcorr_per_sector with use_pallas=True) matches the XLA
         path: indices equal where valid, ok flags equal everywhere."""
@@ -417,15 +417,13 @@ class TestSectorKnnSorted:
         v1 = rng.rand(N1) > 0.2
         secj, v1j = jnp.asarray(sec), jnp.asarray(v1)
 
-        import os
+        # knob is read once at import (advisor r3) -> patch the constant
+        import corsair_tpu.ops.correspond as corr_mod
 
-        os.environ["CORSAIR_SORTED_KNN"] = "1"
-        try:
-            idx_p, ok_p = find_kcorr_per_sector(
-                F0, F1, secj, S, K, v1=v1j, use_pallas=True
-            )
-        finally:
-            os.environ.pop("CORSAIR_SORTED_KNN")
+        monkeypatch.setattr(corr_mod, "_SORTED_KNN_ENV", True)
+        idx_p, ok_p = find_kcorr_per_sector(
+            F0, F1, secj, S, K, v1=v1j, use_pallas=True
+        )
         idx_r, ok_r = _find_kcorr_per_sector_xla(
             F0, F1, secj, S, K, v1=v1j
         )
@@ -435,7 +433,7 @@ class TestSectorKnnSorted:
             np.asarray(idx_p)[ok_p], np.asarray(idx_r)[ok_r]
         )
 
-    def test_small_sector_counts(self, rng):
+    def test_small_sector_counts(self, rng, monkeypatch):
         """Sectors with fewer than k valid members: ok flags must mark
         exactly the first count extractions."""
         from corsair_tpu.ops.correspond import find_kcorr_per_sector
@@ -447,16 +445,13 @@ class TestSectorKnnSorted:
         sec[:3] = 1                        # sector 1 has exactly 3
         sec[3:5] = 2                       # sector 2 has exactly 2
         v1 = np.ones(N1, bool)
-        import os
+        import corsair_tpu.ops.correspond as corr_mod
 
-        os.environ["CORSAIR_SORTED_KNN"] = "1"
-        try:
-            idx, ok = find_kcorr_per_sector(
-                F0, F1, jnp.asarray(sec), S, K, v1=jnp.asarray(v1),
-                use_pallas=True,
-            )
-        finally:
-            os.environ.pop("CORSAIR_SORTED_KNN")
+        monkeypatch.setattr(corr_mod, "_SORTED_KNN_ENV", True)
+        idx, ok = find_kcorr_per_sector(
+            F0, F1, jnp.asarray(sec), S, K, v1=jnp.asarray(v1),
+            use_pallas=True,
+        )
         ok = np.asarray(ok)
         assert ok[:, 1, :3].all() and not ok[:, 1, 3:].any()
         assert ok[:, 2, :2].all() and not ok[:, 2, 2:].any()

@@ -123,6 +123,144 @@ class TestSymmetricCut:
         assert not bool(ok)
 
 
+def _blob_cloud(rng, K, radius, sigma, n=400):
+    """K isotropic gaussian blobs (sigma) at ``radius`` around the y
+    axis, equally spaced; features = one shared vector + small noise so
+    every seed's rank-window is a uniform subsample spanning all blobs.
+
+    Engineered so the symmetric-cut acceptance gates
+    (``utils/symmetry.py:231``: ``dist.min() > 0.15 > max(error)``) are
+    analytically predictable: min inter-center distance =
+    ``2*radius*sin(pi/K)``; per-cluster mean distance-to-center of a 3-D
+    gaussian = ``sigma * 2*sqrt(2/pi) * Gamma(2)/Gamma(1.5)`` ~= 1.596*sigma.
+    """
+    per = n // K
+    pts = []
+    for s in range(K):
+        a = 2 * np.pi * s / K
+        c = np.array([radius * np.cos(a), 0.0, radius * np.sin(a)])
+        pts.append(c[None, :] + rng.randn(per, 3) * sigma)
+    xyz = np.concatenate(pts).astype(np.float32)
+    shared = rng.randn(8)
+    feat = shared[None, :] + rng.randn(len(xyz), 8) * 0.05
+    feat = (feat / np.linalg.norm(feat, axis=1, keepdims=True)
+            ).astype(np.float32)
+    return xyz, feat
+
+
+def _reference_cut_accepts(feat, xyz, K, max_sample=40, seed=0):
+    """The reference's acceptance decision (``utils/symmetry.py:196-236``),
+    verbatim in numpy + sklearn: scan seed candidates, 50-NN feature
+    window, sklearn KMeans(n_init=10), accept iff any candidate passes
+    ``dist.min() > 0.15 > max(error)``."""
+    from sklearn.cluster import KMeans
+
+    rs = np.random.RandomState(seed)
+    seeds = rs.choice(len(xyz), max_sample, replace=False)
+    for idx in seeds:
+        d = np.linalg.norm(feat[idx : idx + 1] - feat, axis=1)
+        nns = xyz[np.argsort(d)[:50]]
+        km = KMeans(n_clusters=K, random_state=0, n_init=10).fit(nns)
+        centers = km.cluster_centers_
+        dist = np.linalg.norm(centers[None] - centers[:, None], axis=2)
+        dist[np.arange(K), np.arange(K)] = 100
+        nn_label = km.predict(nns)
+        err = [
+            np.linalg.norm(nns[nn_label == l] - centers[l], axis=1).mean()
+            for l in range(K)
+        ]
+        if dist.min() > 0.15 > max(err):
+            return True
+    return False
+
+
+class TestSymmetricCutNearThreshold:
+    """Reject-side coverage (VERDICT r3 weak #6): clouds straddling the
+    0.15 center-distance and cluster-error gates at >=10% margins, the
+    regime the round-3 budget study never exercised (its synthetic
+    clouds essentially always accepted). Each fixture's decision is
+    checked three ways: analytic expectation, the sklearn-faithful
+    reference loop, and budget invariance (faithful 10x25 Lloyd vs the
+    fast() preset's 4x10)."""
+
+    # (K, radius, sigma, expect_accept): min center dist = 2R sin(pi/K),
+    # cluster error ~= 1.6 sigma; both gates at 0.15.
+    CASES = [
+        (4, 0.080, 0.020, False),   # dist 0.113 < 0.15 -> reject
+        (4, 0.095, 0.020, False),   # dist 0.134 (10% under) -> reject
+        (4, 0.120, 0.020, True),    # dist 0.170 (13% over)  -> accept
+        (4, 0.130, 0.020, True),    # dist 0.184, err 0.032  -> accept
+        (4, 0.350, 0.180, False),   # err ~0.29 > 0.15 -> reject
+        (4, 0.300, 0.060, True),    # err ~0.10 < 0.15 -> accept
+        (2, 0.060, 0.015, False),   # K=2: dist 0.12 -> reject
+        (2, 0.100, 0.015, True),    # K=2: dist 0.20 -> accept
+    ]
+
+    def _our_decision(self, feat, xyz, K, iters, restarts, key=0):
+        cfg = SymPoseConfig(
+            num_sectors=K, max_sample=40,
+            kmeans_iters=iters, kmeans_restarts=restarts,
+        )
+        _, ok = symmetric_cut(
+            jax.random.PRNGKey(key), jnp.asarray(feat), jnp.asarray(xyz),
+            jnp.ones(len(xyz), bool), cfg,
+        )
+        return bool(ok)
+
+    def test_gates_and_budget_invariance(self, rng):
+        for K, radius, sigma, expect in self.CASES:
+            xyz, feat = _blob_cloud(rng, K, radius, sigma)
+            got_full = self._our_decision(feat, xyz, K, 25, 10)
+            got_fast = self._our_decision(feat, xyz, K, 10, 4)
+            assert got_full == expect, (
+                f"K={K} R={radius} sigma={sigma}: faithful budget "
+                f"decided {got_full}, analytic expectation {expect}"
+            )
+            assert got_fast == expect, (
+                f"K={K} R={radius} sigma={sigma}: fast() budget "
+                f"decided {got_fast}, expectation {expect} — the "
+                f"reduced Lloyd budget changes near-threshold decisions"
+            )
+
+    def test_matches_reference_loop(self, rng):
+        for K, radius, sigma, expect in self.CASES:
+            xyz, feat = _blob_cloud(rng, K, radius, sigma)
+            ref = _reference_cut_accepts(feat, xyz, K)
+            assert ref == expect, (
+                f"K={K} R={radius} sigma={sigma}: sklearn reference "
+                f"loop decided {ref}, expectation {expect} — fixture "
+                f"margins too tight"
+            )
+            got = self._our_decision(feat, xyz, K, 25, 10)
+            assert got == ref
+
+    def test_empty_cluster_rejected(self):
+        """A window whose points can't fill K clusters must not be
+        scored err=0 (reference: mean of empty slice = nan -> gate
+        fails; ours: err = +inf)."""
+        # two tight far-apart blobs, K=4: Lloyd leaves >=1 cluster
+        # empty or degenerate-tight; either way this must reject or at
+        # minimum never accept via an empty cluster's zero error.
+        rng = np.random.RandomState(3)
+        half = 100
+        a = rng.randn(half, 3) * 1e-4 + np.array([0.0, 0, 0])
+        b = rng.randn(half, 3) * 1e-4 + np.array([1.0, 0, 0])
+        xyz = np.concatenate([a, b]).astype(np.float32)
+        shared = rng.randn(8)
+        feat = shared[None, :] + rng.randn(200, 8) * 0.05
+        feat = (feat / np.linalg.norm(feat, axis=1, keepdims=True)
+                ).astype(np.float32)
+        cfg = SymPoseConfig(num_sectors=4, max_sample=20,
+                            kmeans_iters=10, kmeans_restarts=4)
+        _, ok = symmetric_cut(
+            jax.random.PRNGKey(0), jnp.asarray(feat), jnp.asarray(xyz),
+            jnp.ones(200, bool), cfg,
+        )
+        # 2 distinguishable positions for 4 centers: any fit has either
+        # an empty/coincident cluster (dist gate or err=+inf) -> reject
+        assert not bool(ok)
+
+
 class TestSymPose:
     def _run(self, rng, sym_angle=None, num_sectors=2):
         """Cloud 1 = rotated copy of cloud 0 with matching features."""
