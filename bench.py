@@ -449,12 +449,10 @@ def main():
     band = int(os.environ.get("CORSAIR_BANDED_BAND", "384"))
     band_down = int(os.environ.get("CORSAIR_BANDED_DOWN_BAND",
                                    str(max(2 * band, 896))))
-    # Mirrors layers.sparse_conv's mode policy: single-plane only when
-    # explicitly enabled (FAST for any dtype, BANDED_BF16 for bf16).
-    planes = 1 if (
-        os.environ.get("CORSAIR_BANDED_FAST") == "1"
-        or (dtype and os.environ.get("CORSAIR_BANDED_BF16") == "1")
-    ) else 3
+    # Mirrors pipeline.FeatureExtractor's resolution: single-plane is
+    # the accelerator default (r4 on-chip: extraction 1.28 -> 0.94 s /
+    # 128 queries); CORSAIR_BANDED_EXACT=1 opts back into 3-plane f32.
+    planes = 3 if os.environ.get("CORSAIR_BANDED_EXACT") == "1" else 1
     sel_b = banded_selection_flops(
         EXTRACT_BATCH, CAP, ratios, band=band, band_down=band_down,
         planes=planes,

@@ -53,13 +53,14 @@ def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
     exactly the precision class of the TPU gather path's default einsum
     (bf16(select(x)) == select(bf16(x))). Callers resolve the flag at
     CONSTRUCTION time (pipeline.FeatureExtractor reads the
-    CORSAIR_BANDED_FAST / CORSAIR_BANDED_BF16 env knobs once there) —
-    an env read here, inside the traced function, would be baked into
-    the jit cache and silently ignore mid-process toggles (advisor r3).
-    Single-plane stays opt-in because its first TPU compile crashed the
-    axon backend (tpu_compile_helper SIGABRT, NOTES.md; suspected
-    [1, W] sub-sublane bf16 operand — now padded in the kernel,
-    pending on-chip validation via the contained probe sweep).
+    CORSAIR_BANDED_EXACT / CORSAIR_BANDED_FAST / CORSAIR_BANDED_BF16
+    env knobs once there) — an env read here, inside the traced
+    function, would be baked into the jit cache and silently ignore
+    mid-process toggles (advisor r3). Single-plane is the accelerator
+    DEFAULT since r4: the round-3 tpu_compile_helper SIGABRT ([1, W]
+    sub-sublane bf16 operand) is fixed by the in-kernel sublane pad,
+    validated by a 12/12 contained compile sweep on chip, and measured
+    at extraction 1.28 -> 0.94 s / 128 queries (logs/on_chip_r4.log).
     """
     kernel = params["kernel"]
     if plan is not None:

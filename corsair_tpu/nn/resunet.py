@@ -63,8 +63,9 @@ class ResUNetConfig:
     # lax.cond fallback to the gather path when coverage fails.
     banded_band: int = 0
     # False = single-plane bf16 selection (see layers.sparse_conv) —
-    # resolved at CONSTRUCTION time by pipeline.FeatureExtractor from
-    # the CORSAIR_BANDED_FAST/BF16 env knobs, never inside a trace.
+    # resolved at CONSTRUCTION time by pipeline.FeatureExtractor
+    # (accelerator default since r4; CORSAIR_BANDED_EXACT/FAST/BF16
+    # env overrides), never inside a trace.
     banded_exact: bool = True
 
 

@@ -12,7 +12,7 @@ from corsair_tpu.ops.transforms import (
 )
 from corsair_tpu.ops.kabsch import kabsch_umeyama
 from corsair_tpu.ops.ransac import ransac_correspondences, RansacConfig
-from corsair_tpu.ops.kmeans import kmeans_lloyd
+from corsair_tpu.ops.kmeans import kmeans_lloyd, kmeans_lloyd_fits
 from corsair_tpu.ops.pose_metrics import eval_pose
 
 __all__ = [
@@ -30,5 +30,6 @@ __all__ = [
     "ransac_correspondences",
     "RansacConfig",
     "kmeans_lloyd",
+    "kmeans_lloyd_fits",
     "eval_pose",
 ]

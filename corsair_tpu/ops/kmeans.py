@@ -91,3 +91,115 @@ def kmeans_lloyd(key, points, valid, k: int, iters: int = 25,
 def kmeans_predict(centers, points):
     d2 = jnp.sum((points[:, None, :] - centers[None, :, :]) ** 2, -1)
     return jnp.argmin(d2, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "n_init"))
+def kmeans_lloyd_fits(keys, points, valid, k: int, iters: int = 25,
+                      n_init: int = 10):
+    """Many independent KMeans fits in one LANE-MAJOR Lloyd loop.
+
+    Drop-in for ``jax.vmap(kmeans_lloyd)`` over a fits axis:
+    ``keys [F]``, ``points [F, N, D]``, ``valid [F, N]`` ->
+    ``(centers [F, k, D], labels [F, N], inertia [F])``, same per-fit
+    random draws (each fit's key splits into ``n_init`` restart seeds
+    exactly as ``kmeans_lloyd`` does).
+
+    Why it exists: the vmapped form puts k (=4) in the minor dim, so
+    every Lloyd step runs elementwise ops at 4/128 lane utilization —
+    the symmetric cut's 8000-fit 25-iter budget measured 35 ms of pure
+    VPU underutilization at [8, 8192] bench shapes. Here the flattened
+    fits*restarts axis is the MINOR dim (the lane-major batching trick
+    that took the RANSAC Kabsch from 93 to 51 ms, kabsch_quaternion_
+    lanes): every elementwise op runs at full lane width, k and the
+    point window live in major dims. Arithmetic is the same per fit up
+    to reduction order (center sums reduce over the window axis instead
+    of a [k, W] @ [W, D] matmul), so results can differ from
+    ``kmeans_lloyd`` in the last ulp on near-tied fits only.
+    """
+    F, N, D = points.shape
+    R = n_init
+    # per-fit restart seeds, identical draw structure to kmeans_lloyd
+    subkeys = jax.vmap(lambda kk: jax.random.split(kk, R))(keys)  # [F,R,2]
+    flat_keys = subkeys.reshape(F * R, 2)
+    pts_rep = jnp.repeat(points, R, axis=0)      # [FR, N, D]
+    val_rep = jnp.repeat(valid, R, axis=0)       # [FR, N]
+
+    centers0 = jax.vmap(
+        lambda kk, p, v: _plus_plus_init(kk, p, v, k)
+    )(flat_keys, pts_rep, val_rep)               # [FR, k, D]
+
+    # Lane-major PER-AXIS layout: every tensor in the loop is [N, FR]
+    # (or [k, FR]) — fits*restarts fill the 128-lane minor dim, the
+    # window fills sublanes, and the coordinate axis is unrolled into
+    # D separate arrays (keeping D=3 as a tensor dim wasted 5/8 of
+    # every sublane tile and measured SLOWER than the vmapped form).
+    pts_ax = [jnp.transpose(pts_rep[:, :, d], (1, 0)) for d in range(D)]
+    val_l = jnp.transpose(val_rep, (1, 0))       # [N, FR]
+    c0 = jnp.transpose(centers0, (2, 1, 0))      # [D, k, FR]
+
+    def assign(c):
+        # first-min compare chain == jnp.argmin tie-breaking
+        def d2_of(kk):
+            acc = (pts_ax[0] - c[0, kk][None]) ** 2
+            for d in range(1, D):
+                acc = acc + (pts_ax[d] - c[d, kk][None]) ** 2
+            return acc                                       # [N, FR]
+
+        bd = d2_of(0)
+        lab = jnp.zeros(bd.shape, jnp.int32)
+        for kk in range(1, k):
+            d2_k = d2_of(kk)
+            take = d2_k < bd
+            lab = jnp.where(take, kk, lab)
+            bd = jnp.where(take, d2_k, bd)
+        return lab, bd
+
+    def update(c, lab):
+        new_c = []
+        for kk in range(k):
+            w = ((lab == kk) & val_l).astype(pts_ax[0].dtype)  # [N, FR]
+            cnt = jnp.maximum(jnp.sum(w, axis=0), 1.0)         # [FR]
+            has = jnp.sum(w, axis=0) > 0
+            new_c.append([
+                jnp.where(has, jnp.sum(w * pts_ax[d], axis=0) / cnt,
+                          c[d, kk])
+                for d in range(D)
+            ])
+        # [D, k, FR]
+        return jnp.stack([
+            jnp.stack([new_c[kk][d] for kk in range(k)]) for d in range(D)
+        ])
+
+    # Convergence early-exit: Lloyd is a deterministic fixpoint
+    # iteration — once no label changes, every further iteration is a
+    # no-op, so exiting early returns EXACTLY the fixed-`iters` result
+    # whenever the fits converge sooner (typical window fits converge
+    # in ~8-12 of the faithful 25). The loop-carried `lab` doubles as
+    # the convergence probe, so each step costs one assign + update,
+    # same as the fixed scan.
+    lab0, _ = assign(c0)
+
+    def cond(state):
+        i, _, _, changed = state
+        return (i < iters) & changed
+
+    def body(state):
+        i, c, lab, _ = state
+        c2 = update(c, lab)
+        lab2, _ = assign(c2)
+        return i + 1, c2, lab2, jnp.any(lab2 != lab)
+
+    _, c, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), c0, lab0, jnp.bool_(True))
+    )
+    lab, bd = assign(c)
+    inertia = jnp.sum(jnp.where(val_l, bd, 0.0), axis=0)    # [FR]
+
+    # best restart per fit (argmin = first min, as kmeans_lloyd)
+    inertia = inertia.reshape(F, R)
+    best_r = jnp.argmin(inertia, axis=1)                    # [F]
+    flat_best = jnp.arange(F) * R + best_r
+    centers = jnp.transpose(c, (2, 1, 0))[flat_best]        # [F, k, D]
+    labels = jnp.transpose(lab, (1, 0)).reshape(F, R, N)[
+        jnp.arange(F), best_r]
+    return centers, labels, inertia[jnp.arange(F), best_r]

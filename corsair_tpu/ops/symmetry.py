@@ -28,7 +28,7 @@ import numpy as np
 
 from corsair_tpu.ops.chamfer import _min_nn_dists
 from corsair_tpu.ops.correspond import find_kcorr_per_sector
-from corsair_tpu.ops.kmeans import kmeans_lloyd, kmeans_predict
+from corsair_tpu.ops.kmeans import kmeans_lloyd_fits, kmeans_predict
 from corsair_tpu.ops.ransac import (
     RansacConfig,
     ransac_correspondences,
@@ -171,15 +171,22 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
     _, nn_idx_all = jax.lax.top_k(-d2_all, W)               # [M, W]
     nn_d2_all = jnp.take_along_axis(d2_all, nn_idx_all, axis=1)
 
-    def one_candidate(nn_idx, nn_d2, km_key):
-        # top-W feature-space neighborhood of this candidate's seed
+    # All max_sample * kmeans_restarts Lloyd fits run in ONE lane-major
+    # loop (fits in the minor dim — see kmeans_lloyd_fits): the vmapped
+    # per-candidate form ran every Lloyd step at 4/128 lane utilization
+    # and was the largest registration stage at the reference-faithful
+    # 10x25 budget (2 cuts = 71 of ~203 ms / 8-query batch on chip).
+    nns_all = xyz[nn_idx_all]                       # [M, W, 3]
+    nns_valid_all = nn_d2_all < _BIG / 2            # [M, W]
+    centers_fit = kmeans_lloyd_fits(
+        km_keys, nns_all, nns_valid_all, K,
+        iters=config.kmeans_iters, n_init=config.kmeans_restarts,
+    )[0]                                            # [M, K, 3]
+
+    def one_candidate(nn_idx, nn_d2, centers):
+        # acceptance statistics for this candidate's fitted centers
         nns = xyz[nn_idx]
         nns_valid = nn_d2 < _BIG / 2
-        centers, _, _ = kmeans_lloyd(
-            km_key, nns, nns_valid, K,
-            iters=config.kmeans_iters, n_init=config.kmeans_restarts,
-        )
-        # acceptance statistics
         cdist = jnp.linalg.norm(
             centers[None, :, :] - centers[:, None, :], axis=2
         )
@@ -217,7 +224,7 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
         return centers, accept, score
 
     centers_all, accepts, scores = jax.vmap(one_candidate)(
-        nn_idx_all, nn_d2_all, km_keys
+        nn_idx_all, nn_d2_all, centers_fit
     )
     scores = jnp.where(accepts, scores, _BIG)
     best = jnp.argmin(scores)

@@ -59,6 +59,16 @@ class ExtractorConfig:
     # auto (accelerators only), True = force (interpret mode on CPU —
     # dryrun use). See core.coordmap.CoordinateManager.
     pallas_join: Optional[bool] = None
+    # Banded selection precision. None = auto: single-plane bf16
+    # selection + DEFAULT-precision recombine on accelerator backends
+    # (EXACTLY the gather path's default-einsum precision class there,
+    # since bf16(select(x)) == select(bf16(x)); measured r4 on chip:
+    # extraction 1.28 -> 0.94 s / 128 queries, 12/12 contained compile
+    # sweep clean), 3-plane f32-exact on CPU where the gather baseline
+    # itself is f32-exact. True/False forces. Env overrides (resolved
+    # once at construction): CORSAIR_BANDED_EXACT=1 forces exact,
+    # CORSAIR_BANDED_FAST=1 forces single-plane.
+    banded_exact: Optional[bool] = None
 
 
 class FeatureExtractor:
@@ -85,11 +95,18 @@ class FeatureExtractor:
         # baked into the jit cache and silently ignores mid-process
         # toggles; advisor r3). banded_exact is part of the static
         # model config, so a different value is a different trace.
-        banded_exact = not (
-            os.environ.get("CORSAIR_BANDED_FAST", "0") == "1"
-            or (cdtype == jnp.bfloat16
-                and os.environ.get("CORSAIR_BANDED_BF16", "0") == "1")
-        )
+        banded_exact = config.banded_exact
+        if os.environ.get("CORSAIR_BANDED_EXACT", "0") == "1":
+            banded_exact = True
+        elif (os.environ.get("CORSAIR_BANDED_FAST", "0") == "1"
+              or (cdtype == jnp.bfloat16
+                  and os.environ.get("CORSAIR_BANDED_BF16", "0") == "1")):
+            banded_exact = False
+        if banded_exact is None:
+            # Auto: single-plane on accelerators (precision-neutral vs
+            # the gather path's default einsum there, 3.5x less MXU
+            # work); exact on CPU, whose gather baseline is f32-exact.
+            banded_exact = jax.default_backend() == "cpu"
         self.model_cfg = resunet.make_config(
             config.model_name,
             in_channels=config.in_channels,

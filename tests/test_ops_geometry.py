@@ -236,6 +236,28 @@ class TestKMeans:
         )
         assert np.abs(np.asarray(centers)).max() < 10
 
+    def test_lane_major_fits_match_vmapped(self, rng):
+        """kmeans_lloyd_fits (the symmetric cut's lane-major batched
+        Lloyd) reproduces vmap(kmeans_lloyd) per fit: same restart
+        seeds, same argmin tie-breaking, reduction-order-only deltas."""
+        from corsair_tpu.ops.kmeans import kmeans_lloyd_fits
+
+        F, N, K = 23, 50, 4
+        pts = jnp.asarray(rng.randn(F, N, 3).astype(np.float32))
+        valid = jnp.asarray(rng.rand(F, N) > 0.2)
+        keys = jax.random.split(jax.random.PRNGKey(3), F)
+        c1, l1, i1 = jax.vmap(
+            lambda k_, p, v: kmeans_lloyd(k_, p, v, K, iters=25,
+                                          n_init=10)
+        )(keys, pts, valid)
+        c2, l2, i2 = kmeans_lloyd_fits(keys, pts, valid, K, iters=25,
+                                       n_init=10)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2),
+                                   rtol=1e-5)
+        assert (np.asarray(l1) == np.asarray(l2)).mean() > 0.999
+
 
 class TestPoseMetrics:
     def test_identity(self):
