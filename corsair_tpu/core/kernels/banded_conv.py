@@ -61,6 +61,18 @@ TILE = 128
 ALIGN = 128      # band starts lane-aligned for the HBM slice
 NGROUPS = 3      # offsets grouped by dim-0 component (dim-0-fastest)
 
+# Concatenated selection A/B knob, read ONCE at import (a trace-time
+# env read would be baked into the jit cache; advisor r3): fuse a
+# group's kg one-hot selections into ONE [rows, W] @ [W, kg*T] matmul
+# instead of kg separate [rows, W] @ [W, T] dots. Same FLOPs — the
+# hypothesis is better MXU weight-load pipelining across the kg N-tiles
+# of one dot. The table is pre-laid-out host-side in tile-major
+# [G, n_tiles * kg * T] order so the kernel slices it lane-aligned with
+# no in-kernel relayout.
+import os as _os
+
+_CONCAT = _os.environ.get("CORSAIR_BANDED_CONCAT", "0") == "1"
+
 
 def group_rows(k_real: int, ngroups: int = NGROUPS) -> np.ndarray:
     """Row permutation putting same-dim-0-offset rows contiguous.
@@ -111,7 +123,7 @@ def banded_plan(table, n_in: int, band: int, tile: int = TILE,
     return starts, has.astype(jnp.int32), ok
 
 
-def _kernel(ngroups, kg, cin, band, tile, exact,
+def _kernel(ngroups, kg, cin, band, tile, exact, concat,
             starts_ref, anyv_ref, table_ref, wfoldT_ref, xT_hbm,
             outT_ref, band_ref, sems):
     i = pl.program_id(0)
@@ -154,21 +166,42 @@ def _kernel(ngroups, kg, cin, band, tile, exact,
                 band3 = jnp.concatenate(
                     [band3, jnp.zeros((pad, band), jnp.bfloat16)], axis=0
                 )
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (band, tile), 0
-            )
-            zs = []
-            for k in range(kg):
-                rel = table_ref[g * kg + k, :][None, :] - s  # [1, T]
-                onehot = (iota == rel).astype(jnp.bfloat16)  # [W, T]
+            if concat:
+                # one fused selection dot across the group's kg offsets
+                rel = table_ref[g, :][None, :] - s       # [1, kg*T]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (band, kg * tile), 0
+                )
+                onehot = (iota == rel).astype(jnp.bfloat16)  # [W, kg*T]
                 z3 = jnp.dot(band3, onehot,
                              preferred_element_type=jnp.float32)
-                if exact:
-                    zs.append(
-                        z3[:cin] + z3[cin:2 * cin] + z3[2 * cin:3 * cin]
-                    )
-                else:
-                    zs.append(z3[:cin])
+                zs = []
+                for k in range(kg):
+                    zk = z3[:, k * tile:(k + 1) * tile]
+                    if exact:
+                        zs.append(
+                            zk[:cin] + zk[cin:2 * cin]
+                            + zk[2 * cin:3 * cin]
+                        )
+                    else:
+                        zs.append(zk[:cin])
+            else:
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (band, tile), 0
+                )
+                zs = []
+                for k in range(kg):
+                    rel = table_ref[g * kg + k, :][None, :] - s  # [1, T]
+                    onehot = (iota == rel).astype(jnp.bfloat16)  # [W, T]
+                    z3 = jnp.dot(band3, onehot,
+                                 preferred_element_type=jnp.float32)
+                    if exact:
+                        zs.append(
+                            z3[:cin] + z3[cin:2 * cin]
+                            + z3[2 * cin:3 * cin]
+                        )
+                    else:
+                        zs.append(z3[:cin])
             z_g = jnp.concatenate(zs, axis=0)           # [Kg*Cin, T]
             # exact mode reproduces the f32 gather formulation, so the
             # recombine matmul runs HIGHEST (6 bf16 passes ~ f32). In
@@ -188,7 +221,8 @@ def _kernel(ngroups, kg, cin, band, tile, exact,
 def banded_conv_pallas(feats, table, kernel, starts, any_valid,
                        band: int = 512, tile: int = TILE,
                        exact: bool = True,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       concat: bool | None = None):
     """``out[i] = sum_k W[k] @ x[table[k, i]]`` via grouped banded
     one-hot MXU selection. Same contract as ``nn.layers.sparse_conv``
     (miss value == ``feats.shape[0]`` gathers a zero row); callers must
@@ -206,8 +240,10 @@ def banded_conv_pallas(feats, table, kernel, starts, any_valid,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if concat is None:
+        concat = _CONCAT
     return _banded_conv_diff(feats, table, kernel, starts, any_valid,
-                             band, tile, exact, interpret)
+                             band, tile, exact, interpret, concat)
 
 
 # Training support: pallas_call has no automatic derivative, so the
@@ -216,21 +252,21 @@ def banded_conv_pallas(feats, table, kernel, starts, any_valid,
 # gather into the scatter-add transpose conv). exact=True makes the
 # primal bit-compatible with that formulation, so the gradients are
 # the true gradients of the deployed forward.
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _banded_conv_diff(feats, table, kernel, starts, any_valid,
-                      band, tile, exact, interpret):
+                      band, tile, exact, interpret, concat):
     return _banded_conv_jit(feats, table, kernel, starts, any_valid,
-                            band, tile, exact, interpret)
+                            band, tile, exact, interpret, concat)
 
 
 def _banded_conv_fwd(feats, table, kernel, starts, any_valid,
-                     band, tile, exact, interpret):
+                     band, tile, exact, interpret, concat):
     out = _banded_conv_jit(feats, table, kernel, starts, any_valid,
-                           band, tile, exact, interpret)
+                           band, tile, exact, interpret, concat)
     return out, (feats, table, kernel, starts, any_valid)
 
 
-def _banded_conv_bwd(band, tile, exact, interpret, res, g):
+def _banded_conv_bwd(band, tile, exact, interpret, concat, res, g):
     feats, table, kernel, starts, any_valid = res
 
     def gather_form(f, w):
@@ -251,9 +287,10 @@ _banded_conv_diff.defvjp(_banded_conv_fwd, _banded_conv_bwd)
 
 
 @partial(jax.jit,
-         static_argnames=("band", "tile", "exact", "interpret"))
+         static_argnames=("band", "tile", "exact", "interpret",
+                          "concat"))
 def _banded_conv_jit(feats, table, kernel, starts, any_valid,
-                     band, tile, exact, interpret):
+                     band, tile, exact, interpret, concat):
     n_in, cin = feats.shape
     k_real, n_out = table.shape
     cout = kernel.shape[2]
@@ -271,12 +308,33 @@ def _banded_conv_jit(feats, table, kernel, starts, any_valid,
          jnp.zeros((cin, band), jnp.float32)], axis=1
     )
     table_p = table[perm]
-    k_pad = -(-k_real // 8) * 8     # sublane-pad the table block
-    if k_pad != k_real:
-        table_p = jnp.concatenate(
-            [table_p, jnp.full((k_pad - k_real, n_out), n_in,
-                               jnp.int32)], axis=0
-        )
+    if concat:
+        # tile-major concat layout: row g holds, for each output tile
+        # i, the group's kg target-index vectors back to back —
+        # tableC[g, (i*kg + k)*tile + t] = table_p[g*kg + k, i*tile+t]
+        # — so the kernel's per-(g, tile) block slice is already the
+        # lane-major [1, kg*T] operand of the fused selection dot.
+        table_p = jnp.transpose(
+            table_p.reshape(ngroups, kg, n_tiles, tile), (0, 2, 1, 3)
+        ).reshape(ngroups, n_tiles * kg * tile)
+        k_pad = -(-ngroups // 8) * 8
+        if k_pad != ngroups:
+            table_p = jnp.concatenate(
+                [table_p, jnp.full((k_pad - ngroups, table_p.shape[1]),
+                                   n_in, jnp.int32)], axis=0
+            )
+        table_block = pl.BlockSpec((k_pad, kg * tile),
+                                   lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM)
+    else:
+        k_pad = -(-k_real // 8) * 8     # sublane-pad the table block
+        if k_pad != k_real:
+            table_p = jnp.concatenate(
+                [table_p, jnp.full((k_pad - k_real, n_out), n_in,
+                                   jnp.int32)], axis=0
+            )
+        table_block = pl.BlockSpec((k_pad, tile), lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM)
     wfoldT = kernel.astype(jnp.float32)[perm].reshape(
         k_real * cin, cout
     ).T                                                  # [Cout, K*Cin]
@@ -285,8 +343,7 @@ def _banded_conv_jit(feats, table, kernel, starts, any_valid,
         num_scalar_prefetch=2,       # starts, any_valid
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((k_pad, tile), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
+            table_block,
             pl.BlockSpec((cout, k_real * cin), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -299,7 +356,7 @@ def _banded_conv_jit(feats, table, kernel, starts, any_valid,
         ],
     )
     outT = pl.pallas_call(
-        partial(_kernel, ngroups, kg, cin, band, tile, exact),
+        partial(_kernel, ngroups, kg, cin, band, tile, exact, concat),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cout, n_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(

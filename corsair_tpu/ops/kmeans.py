@@ -104,17 +104,20 @@ def kmeans_lloyd_fits(keys, points, valid, k: int, iters: int = 25,
     random draws (each fit's key splits into ``n_init`` restart seeds
     exactly as ``kmeans_lloyd`` does).
 
-    Why it exists: the vmapped form puts k (=4) in the minor dim, so
-    every Lloyd step runs elementwise ops at 4/128 lane utilization —
-    the symmetric cut's 8000-fit 25-iter budget measured 35 ms of pure
-    VPU underutilization at [8, 8192] bench shapes. Here the flattened
-    fits*restarts axis is the MINOR dim (the lane-major batching trick
-    that took the RANSAC Kabsch from 93 to 51 ms, kabsch_quaternion_
-    lanes): every elementwise op runs at full lane width, k and the
-    point window live in major dims. Arithmetic is the same per fit up
-    to reduction order (center sums reduce over the window axis instead
-    of a [k, W] @ [W, D] matmul), so results can differ from
-    ``kmeans_lloyd`` in the last ulp on near-tied fits only.
+    MEASURED NEGATIVE on chip (r4, kept as the record + for other
+    shapes): at the symmetric cut's shapes (800 fits x 50-pt window,
+    K=4, 10 restarts x 25 iters) this form runs 9.8 ms vs the vmapped
+    form's 6.1 ms per call, and a fixed-iteration variant 10.5 ms — the
+    layout, not the early-exit while_loop, is the cost. The "vmapped
+    Lloyd wastes 124/128 lanes" hypothesis was wrong: XLA lays the
+    vmapped form out well, and the [window, fits] transpose layout
+    here pays more in transpose/reduction traffic than it saves in
+    lane fill. ``symmetric_cut`` uses ``vmap(kmeans_lloyd)``.
+
+    Arithmetic is the same per fit up to reduction order (center sums
+    reduce over the window axis instead of a [k, W] @ [W, D] matmul),
+    so results can differ from ``kmeans_lloyd`` in the last ulp on
+    near-tied fits only.
     """
     F, N, D = points.shape
     R = n_init

@@ -28,7 +28,7 @@ import numpy as np
 
 from corsair_tpu.ops.chamfer import _min_nn_dists
 from corsair_tpu.ops.correspond import find_kcorr_per_sector
-from corsair_tpu.ops.kmeans import kmeans_lloyd_fits, kmeans_predict
+from corsair_tpu.ops.kmeans import kmeans_lloyd, kmeans_predict
 from corsair_tpu.ops.ransac import (
     RansacConfig,
     ransac_correspondences,
@@ -171,17 +171,22 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
     _, nn_idx_all = jax.lax.top_k(-d2_all, W)               # [M, W]
     nn_d2_all = jnp.take_along_axis(d2_all, nn_idx_all, axis=1)
 
-    # All max_sample * kmeans_restarts Lloyd fits run in ONE lane-major
-    # loop (fits in the minor dim — see kmeans_lloyd_fits): the vmapped
-    # per-candidate form ran every Lloyd step at 4/128 lane utilization
-    # and was the largest registration stage at the reference-faithful
-    # 10x25 budget (2 cuts = 71 of ~203 ms / 8-query batch on chip).
+    # Candidate Lloyd fits run as a plain vmap over kmeans_lloyd: the
+    # lane-major batched form (kmeans_lloyd_fits, fits in the minor
+    # dim) measured SLOWER on chip at cut shapes — 9.8 vs 6.1 ms per
+    # 800 fits, layout not loop-form (fixed-iter lane-major is 10.5) —
+    # so the "4/128 lane utilization" hypothesis about the vmapped form
+    # was wrong: XLA already lays the vmapped Lloyd out well, and the
+    # [window, fits] transpose layout pays more in reduction/transpose
+    # traffic than it saves in lane fill (ARCHITECTURE.md r4 table).
     nns_all = xyz[nn_idx_all]                       # [M, W, 3]
     nns_valid_all = nn_d2_all < _BIG / 2            # [M, W]
-    centers_fit = kmeans_lloyd_fits(
-        km_keys, nns_all, nns_valid_all, K,
-        iters=config.kmeans_iters, n_init=config.kmeans_restarts,
-    )[0]                                            # [M, K, 3]
+    centers_fit = jax.vmap(
+        lambda kk, p, v: kmeans_lloyd(
+            kk, p, v, K, iters=config.kmeans_iters,
+            n_init=config.kmeans_restarts,
+        )[0]
+    )(km_keys, nns_all, nns_valid_all)              # [M, K, 3]
 
     def one_candidate(nn_idx, nn_d2, centers):
         # acceptance statistics for this candidate's fitted centers

@@ -342,6 +342,40 @@ def test_banded_single_plane_matches_bf16_gather_class():
     assert np.abs(out - oracle).max() / scale < 1e-6
 
 
+@pytest.mark.parametrize("exact", [True, False])
+def test_banded_concat_selection_matches_split(exact):
+    """concat=True (one fused [rows, W] @ [W, kg*T] selection dot per
+    group, tile-major table layout) must be bit-meaningfully identical
+    to the default per-offset selection dots — same one-hot operands,
+    only the dot grouping changes."""
+    rng = np.random.RandomState(11)
+    n_in, n_out, k, cin, cout = 1500, 1024, 27, 32, 48
+    table_np = _grouped_table(rng, n_in, n_out, k)
+    # fully-missing tiles exercise the anyv skip under the new layout
+    table_np[:, 128:256] = n_in
+    feats = rng.randn(n_in, cin).astype(np.float32)
+    kernel = (rng.randn(k, cin, cout) * 0.1).astype(np.float32)
+    table = jnp.asarray(table_np)
+    starts, anyv, ok = banded_plan(table, n_in, 640)
+    assert bool(ok)
+    args = (jnp.asarray(feats), table, jnp.asarray(kernel), starts,
+            anyv)
+    out_split = np.asarray(banded_conv_pallas(
+        *args, band=640, exact=exact, interpret=True, concat=False,
+    ))
+    out_concat = np.asarray(banded_conv_pallas(
+        *args, band=640, exact=exact, interpret=True, concat=True,
+    ))
+    np.testing.assert_array_equal(out_concat, out_split)
+    src = feats if exact else np.asarray(
+        jnp.asarray(feats).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    xp = np.concatenate([src, np.zeros((1, cin), np.float32)], 0)
+    oracle = np.einsum("knc,kcd->nd", xp[table_np], kernel)
+    scale = max(1.0, np.abs(oracle).max())
+    assert np.abs(out_concat - oracle).max() / scale < 1e-6
+
+
 def test_banded_fast_env_pipeline_close_to_f32(monkeypatch):
     """CORSAIR_BANDED_FAST=1 routes f32 extraction through single-plane
     selection (gather-path default precision class on TPU): descriptors
