@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from corsair_tpu.eval.cache import RegistrationResults
-from corsair_tpu.ops.symmetry import SymPoseConfig, sym_pose
+from corsair_tpu.ops.symmetry import SymPoseConfig, sym_pose_batch
 
 
 def _pad_stack(arrs: Sequence[np.ndarray], cap: int):
@@ -35,23 +35,17 @@ def _pad_stack(arrs: Sequence[np.ndarray], cap: int):
     return out, valid
 
 
-@partial(jax.jit, static_argnames=("config", "chunk"))
 def _sym_pose_batch(keys, f0, x0, v0, f1, x1, v1, config, chunk):
-    return jax.vmap(
-        lambda k, a, b, c, d, e, f: sym_pose(k, a, b, c, d, e, f, config,
-                                             chunk)
-    )(keys, f0, x0, v0, f1, x1, v1)
+    # sym_pose_batch is batch-native (flat cross-pair gathers, one cut
+    # vmap) and already jitted with static (config, chunk).
+    return sym_pose_batch(keys, f0, x0, v0, f1, x1, v1, config, chunk)
 
 
-@partial(jax.jit, static_argnames=("config", "chunk"))
 def _sym_pose_batch_precut(keys, f0, x0, v0, f1, x1, v1, sec1, ok1,
                            config, chunk):
     """sym_pose batch consuming precomputed CAD-side sector cuts."""
-    return jax.vmap(
-        lambda k, a, b, c, d, e, f, s, o: sym_pose(
-            k, a, b, c, d, e, f, config, chunk, cad_cut=(s, o)
-        )
-    )(keys, f0, x0, v0, f1, x1, v1, sec1, ok1)
+    return sym_pose_batch(keys, f0, x0, v0, f1, x1, v1, config, chunk,
+                          cad_cuts=(sec1, ok1))
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -143,11 +143,17 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
 
     # ratio-score subsample (see SymPoseConfig.ratio_subsample): valid
     # rows first, so row i of the subsample is valid iff i < n_valid.
-    # <= 0 means the full cloud (reference-faithful default).
-    s_sub = n if config.ratio_subsample <= 0 else min(
-        config.ratio_subsample, n)
-    xyz_sub = xyz[order[:s_sub]]
-    sub_valid = jnp.arange(s_sub) < n_valid
+    # <= 0 means the full cloud (reference-faithful default) — taken
+    # unpermuted: the ratio sums are order-free integer counts, and the
+    # xyz[order] permutation gather costs a full n-row random gather
+    # per cloud on chip.
+    if config.ratio_subsample <= 0:
+        xyz_sub = xyz
+        sub_valid = valid
+    else:
+        s_sub = min(config.ratio_subsample, n)
+        xyz_sub = xyz[order[:s_sub]]
+        sub_valid = jnp.arange(s_sub) < n_valid
     n_sub = jnp.maximum(jnp.sum(sub_valid), 1)
 
     km_keys = jax.random.split(key_km, config.max_sample)
@@ -262,22 +268,33 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
 
 
 @partial(jax.jit, static_argnames=("config", "chunk"))
-def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
-             config: SymPoseConfig, chunk: int = 1024, cad_cut=None):
-    """Symmetry-aided pose for one (query, CAD) pair.
+def sym_pose_batch(keys, baseF, xyz0, v0, posF, xyz1, v1,
+                   config: SymPoseConfig, chunk: int = 1024,
+                   cad_cuts=None):
+    """Natively-batched ``sym_pose`` over B (query, CAD) pairs.
 
-    Returns (T_best, cd_best, T_ransac, cd_ransac, sym_success) — the same
-    5-tuple as ``sym_pose`` (``utils/symmetry.py:262-358``), fully jitted.
+    Same per-pair math and RNG draws as the single-pair ``sym_pose``
+    (which wraps this with B=1); the batch-native form exists because
+    two of the pipeline's hottest aggregates only batch well ACROSS
+    pairs:
 
-    ``cad_cut``: optional precomputed ``(sector1 [N1] int32, ok1 bool)``
-    for the CAD side. The cut depends only on the CAD cloud, so callers
-    registering many queries against a shared library precompute one cut
-    per unique CAD (eval/registration.py) instead of re-fitting the
-    100-candidate KMeans per pair as the reference does
+    * the candidate-coordinate gather runs as ONE flat gather with
+      batch offsets — a vmapped per-pair ``xyz1[idx]`` lowers to an XLA
+      batched gather that measured 2.2x slower on chip for the same
+      rows (24.6 vs 11.1 ms at [8, 16384] protocol shapes);
+    * all symmetric cuts in the batch (2B clouds when the query and CAD
+      capacities match) run as one vmap instead of B stacked pairs.
+
+    ``cad_cuts``: optional precomputed ``(sector1 [B, N1] int32,
+    ok1 [B] bool)`` for the CAD side. The cut depends only on the CAD
+    cloud, so callers registering many queries against a shared library
+    precompute one cut per unique CAD (eval/registration.py) instead of
+    re-fitting the 100-candidate KMeans per pair as the reference does
     (``utils/symmetry.py:299-301``) — same distribution, one draw per
     CAD instead of per pair.
     """
-    n0 = xyz0.shape[0]
+    B, n0 = xyz0.shape[:2]
+    n1 = xyz1.shape[1]
     K = config.num_sectors
     S = config.num_shifts
     k_nn = config.k_nn
@@ -285,126 +302,176 @@ def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
         config.ransac, max_corr_dist=config.max_corr
     )
 
-    k_cut0, k_cut1, k_r = jax.random.split(key, 3)
-    r_keys = jax.random.split(k_r, S + 1)
+    ks = jax.vmap(lambda kk: jax.random.split(kk, 3))(keys)  # [B, 3, 2]
+    k_cut0, k_cut1, k_r = ks[:, 0], ks[:, 1], ks[:, 2]
 
-    # ---- symmetric sector cuts. Batch the two 100-candidate KMeans
-    # fits into one device program only when the two clouds share a
-    # padded capacity — the deployed register_pairs path pads query and
-    # CAD sides to INDEPENDENT caps (eval/registration.py), where a
-    # stacked call would be a shape error.
-    if cad_cut is not None:
-        sec1, ok1 = cad_cut
-        sec0, ok0 = symmetric_cut(k_cut0, baseF, xyz0, v0, config)
+    # ---- symmetric sector cuts: every cut in the batch in one vmap.
+    # Query and CAD sides join the same program only when they share a
+    # padded capacity — the deployed register_pairs path pads the two
+    # sides to INDEPENDENT caps (eval/registration.py), where a
+    # concatenated call would be a shape error.
+    cut = jax.vmap(
+        lambda kk, F, X, V: symmetric_cut(kk, F, X, V, config)
+    )
+    if cad_cuts is not None:
+        sec1, ok1 = cad_cuts
+        sec0, ok0 = cut(k_cut0, baseF, xyz0, v0)
         sym_ok = ok0 & ok1
     elif baseF.shape == posF.shape and v0.shape == v1.shape:
-        sec_b, ok_b = jax.vmap(
-            lambda kk, F, X, V: symmetric_cut(kk, F, X, V, config)
-        )(jnp.stack([k_cut0, k_cut1]), jnp.stack([baseF, posF]),
-          jnp.stack([xyz0, xyz1]), jnp.stack([v0, v1]))
-        sec0, sec1 = sec_b[0], sec_b[1]
-        sym_ok = ok_b[0] & ok_b[1]
+        sec_b, ok_b = cut(
+            jnp.concatenate([k_cut0, k_cut1]),
+            jnp.concatenate([baseF, posF]),
+            jnp.concatenate([xyz0, xyz1]),
+            jnp.concatenate([v0, v1]),
+        )
+        sec0, sec1 = sec_b[:B], sec_b[B:]
+        sym_ok = ok_b[:B] & ok_b[B:]
     else:
-        sec0, ok0 = symmetric_cut(k_cut0, baseF, xyz0, v0, config)
-        sec1, ok1 = symmetric_cut(k_cut1, posF, xyz1, v1, config)
+        sec0, ok0 = cut(k_cut0, baseF, xyz0, v0)
+        sec1, ok1 = cut(k_cut1, posF, xyz1, v1)
         sym_ok = ok0 & ok1
 
-    # ---- one fused distance pass: slot 0 = GLOBAL top-k (the vanilla
-    # RANSAC correspondences, utils/eval_pose.py:48-79), slots 1..K =
-    # per-sector top-k reused by every cyclic shift. Computing both from
-    # one d2 tile saves the second full feature-distance kernel the
-    # round-2 pipeline paid (VERDICT r2 weak #2).
-    all_idx, all_okm, spill = find_kcorr_per_sector(
-        baseF, posF, sec1, K, k_nn, v1=v1, chunk=chunk,
-        include_global=True, return_spill=True,
-    )  # [N0, K+1, k]
+    # ---- one fused distance pass per pair: slot 0 = GLOBAL top-k (the
+    # vanilla RANSAC correspondences, utils/eval_pose.py:48-79), slots
+    # 1..K = per-sector top-k reused by every cyclic shift. Computing
+    # both from one d2 tile saves the second full feature-distance
+    # kernel the round-2 pipeline paid (VERDICT r2 weak #2).
+    all_idx, all_okm, spill = jax.vmap(
+        lambda F0, F1, s1, V1: find_kcorr_per_sector(
+            F0, F1, s1, K, k_nn, v1=V1, chunk=chunk,
+            include_global=True, return_spill=True,
+        )
+    )(baseF, posF, sec1, v1)  # [B, N0, K+1, k]
     # slab-layout spill (an oversized sector's excess members were
     # dropped from its slab): the sector candidates are incomplete, so
     # take the protocol's own safe fallback — treat the cut as failed
     # and use the (always-exact) vanilla global correspondences.
     sym_ok = sym_ok & ~spill
-    sec_idx, sec_okm = all_idx[:, 1:], all_okm[:, 1:]   # [N0, K, k]
 
-    # vanilla RANSAC correspondences: every source point repeated k
-    # times (utils/eval_pose.py:74-79); source side shared across the
-    # S+1 RANSAC candidates instead of stacking [S+1, N0*k, 3] copies.
-    src_shared = jnp.repeat(xyz0, k_nn, axis=0)
-    dst_all = xyz1[all_idx[:, 0].reshape(-1)]
-    cvalid = jnp.repeat(v0, k_nn) & all_okm[:, 0].reshape(-1)
+    # ONE flat gather of every (global + sector) candidate's
+    # coordinates across the whole batch; per-shift target sides are
+    # then one-hot jnp.where selections over the K sector slots in
+    # stage B. The previous per-pair-per-shift xyz1[d_idx] gathers cost
+    # (S+1) * N0 * k vmapped rows (47 of register's ~191 ms / 8-batch
+    # on chip); this is (K+1)/(S+1) the rows, flat-indexed, plus VPU
+    # selects (bit-identical rows — jnp.where copies, never multiplies).
+    off = (jnp.arange(B, dtype=jnp.int32) * n1)[:, None]
+    flat = (all_idx.reshape(B, -1) + off).reshape(-1)
+    pts_all = xyz1.reshape(-1, 3)[flat].reshape(B, n0, K + 1, k_nn, 3)
 
     perms = jnp.asarray(shift_permutations(K))  # [S, K]
 
-    def shift_corr(perm):
-        tgt_sector = perm[sec0]                       # [N0]
-        rows = jnp.arange(n0)
-        d_idx = sec_idx[rows, tgt_sector]             # [N0, k]
-        d_ok = sec_okm[rows, tgt_sector]              # [N0, k]
-        dsts = xyz1[d_idx.reshape(-1)]
-        vv = jnp.repeat(v0, k_nn) & d_ok.reshape(-1)
-        return dsts, vv
+    def stage_b(kr, x0, va0, x1, va1, s0, ok_p, aokm, pall):
+        # vanilla RANSAC correspondences: every source point repeated k
+        # times (utils/eval_pose.py:74-79); source side shared across
+        # the S+1 RANSAC candidates instead of stacking [S+1, N0*k, 3]
+        # copies.
+        src_shared = jnp.repeat(x0, k_nn, axis=0)
+        dst_all = pall[:, 0].reshape(-1, 3)
+        cvalid = jnp.repeat(va0, k_nn) & aokm[:, 0].reshape(-1)
+        sec_pts = pall[:, 1:]                         # [N0, K, k, 3]
+        sec_okm = aokm[:, 1:]                         # [N0, K, k]
+        v0k = jnp.repeat(va0, k_nn)
 
-    dsts_s, vs_s = jax.vmap(shift_corr)(perms)        # [S, N0*k, 3]
+        def shift_corr(perm):
+            tgt_sector = perm[s0]                     # [N0]
+            sel = tgt_sector[:, None] == jnp.arange(K)[None, :]
+            dsts = jnp.zeros((n0, k_nn, 3), x1.dtype)
+            d_ok = jnp.zeros((n0, k_nn), bool)
+            for kk in range(K):
+                m = sel[:, kk][:, None]
+                dsts = jnp.where(m[..., None], sec_pts[:, kk], dsts)
+                d_ok = jnp.where(m, sec_okm[:, kk], d_ok)
+            return dsts.reshape(-1, 3), v0k & d_ok.reshape(-1)
 
-    # stack vanilla + shift target sides into one RANSAC batch
-    dsts = jnp.concatenate([dst_all[None], dsts_s], axis=0)
-    vs = jnp.concatenate([cvalid[None], vs_s], axis=0)
+        dsts_s, vs_s = jax.vmap(shift_corr)(perms)    # [S, N0*k, 3]
 
-    if config.fold_candidates:
-        Ts, _, _ = ransac_correspondences_multi(
-            k_r, src_shared, dsts, vs, rcfg
-        )
-    else:
-        def one_candidate(args):
-            kk, d, v = args
-            T, cnt, rmse = ransac_correspondences(kk, src_shared, d, v,
-                                                  rcfg)
-            return T
+        # stack vanilla + shift target sides into one RANSAC batch
+        dsts = jnp.concatenate([dst_all[None], dsts_s], axis=0)
+        vs = jnp.concatenate([cvalid[None], vs_s], axis=0)
 
-        Ts = jax.lax.map(one_candidate, (r_keys, dsts, vs))
+        if config.fold_candidates:
+            Ts, _, _ = ransac_correspondences_multi(
+                kr, src_shared, dsts, vs, rcfg
+            )
+        else:
+            r_keys = jax.random.split(kr, S + 1)
 
-    # ...then all candidates' Chamfer scores in one batched chunked pass
-    # (1-direction, utils/preprocess.py:67-70).
-    def cd(T):
-        moved = xyz0 @ T[:3, :3].T + T[:3, 3]
-        dmin = _min_nn_dists(moved, xyz1, v0, v1, chunk)
-        return jnp.sum(dmin) / jnp.maximum(jnp.sum(v0), 1)
+            def one_candidate(args):
+                kk, d, v = args
+                T, cnt, rmse = ransac_correspondences(
+                    kk, src_shared, d, v, rcfg
+                )
+                return T
 
-    T_ransac = Ts[0]
+            Ts = jax.lax.map(one_candidate, (r_keys, dsts, vs))
 
-    m = config.cd_prescore_sample
-    keep = config.cd_prescore_keep
-    if 0 < keep < S and 0 < m < n0:
-        # stage 1: subsample CD of every shift candidate (valid-first
-        # rows so the mask is a static iota compare; see SymPoseConfig)
-        order0 = jnp.argsort(~v0)
-        x0_sub = xyz0[order0[:m]]
-        v0_sub = jnp.arange(m) < jnp.sum(v0)
+        # ...then all candidates' Chamfer scores in one batched chunked
+        # pass (1-direction, utils/preprocess.py:67-70).
+        def cd(T):
+            moved = x0 @ T[:3, :3].T + T[:3, 3]
+            dmin = _min_nn_dists(moved, x1, va0, va1, chunk)
+            return jnp.sum(dmin) / jnp.maximum(jnp.sum(va0), 1)
 
-        def cd_sub(T):
-            moved = x0_sub @ T[:3, :3].T + T[:3, 3]
-            dmin = _min_nn_dists(moved, xyz1, v0_sub, v1, chunk)
-            return jnp.sum(dmin) / jnp.maximum(jnp.sum(v0_sub), 1)
+        T_ransac = Ts[0]
 
-        pre = jax.vmap(cd_sub)(Ts[1:])                  # [S]
-        _, top = jax.lax.top_k(-pre, keep)              # [keep]
-        # stage 2: exact CD of the vanilla result + the kept shifts
-        cds_sel = jax.vmap(cd)(
-            jnp.concatenate([Ts[:1], Ts[1 + top]], axis=0)
-        )                                               # [1 + keep]
-        cd_ransac = cds_sel[0]
-        cds_shift = jnp.where(sym_ok, cds_sel[1:], _BIG)
-        bs = jnp.argmin(cds_shift)
-        best_shift = top[bs]
-        use_shift = cds_shift[bs] < cd_ransac
-        cd_best_shift = cds_shift[bs]
-    else:
-        cds = jax.vmap(cd)(Ts)
-        cd_ransac = cds[0]
-        cds_shift = jnp.where(sym_ok, cds[1:], _BIG)
-        best_shift = jnp.argmin(cds_shift)
-        use_shift = cds_shift[best_shift] < cd_ransac
-        cd_best_shift = cds_shift[best_shift]
+        m = config.cd_prescore_sample
+        keep = config.cd_prescore_keep
+        if 0 < keep < S and 0 < m < n0:
+            # stage 1: subsample CD of every shift candidate (valid-
+            # first rows so the mask is a static iota compare; see
+            # SymPoseConfig)
+            order0 = jnp.argsort(~va0)
+            x0_sub = x0[order0[:m]]
+            v0_sub = jnp.arange(m) < jnp.sum(va0)
 
-    T_best = jnp.where(use_shift, Ts[1 + best_shift], T_ransac)
-    cd_best = jnp.minimum(cd_best_shift, cd_ransac)
-    return T_best, cd_best, T_ransac, cd_ransac, sym_ok
+            def cd_sub(T):
+                moved = x0_sub @ T[:3, :3].T + T[:3, 3]
+                dmin = _min_nn_dists(moved, x1, v0_sub, va1, chunk)
+                return jnp.sum(dmin) / jnp.maximum(jnp.sum(v0_sub), 1)
+
+            pre = jax.vmap(cd_sub)(Ts[1:])              # [S]
+            _, top = jax.lax.top_k(-pre, keep)          # [keep]
+            # stage 2: exact CD of the vanilla result + the kept shifts
+            cds_sel = jax.vmap(cd)(
+                jnp.concatenate([Ts[:1], Ts[1 + top]], axis=0)
+            )                                           # [1 + keep]
+            cd_ransac = cds_sel[0]
+            cds_shift = jnp.where(ok_p, cds_sel[1:], _BIG)
+            bs = jnp.argmin(cds_shift)
+            best_shift = top[bs]
+            use_shift = cds_shift[bs] < cd_ransac
+            cd_best_shift = cds_shift[bs]
+        else:
+            cds = jax.vmap(cd)(Ts)
+            cd_ransac = cds[0]
+            cds_shift = jnp.where(ok_p, cds[1:], _BIG)
+            best_shift = jnp.argmin(cds_shift)
+            use_shift = cds_shift[best_shift] < cd_ransac
+            cd_best_shift = cds_shift[best_shift]
+
+        T_best = jnp.where(use_shift, Ts[1 + best_shift], T_ransac)
+        cd_best = jnp.minimum(cd_best_shift, cd_ransac)
+        return T_best, cd_best, T_ransac, cd_ransac, ok_p
+
+    return jax.vmap(stage_b)(
+        k_r, xyz0, v0, xyz1, v1, sec0, sym_ok, all_okm, pts_all
+    )
+
+
+def sym_pose(key, baseF, xyz0, v0, posF, xyz1, v1,
+             config: SymPoseConfig, chunk: int = 1024, cad_cut=None):
+    """Symmetry-aided pose for one (query, CAD) pair.
+
+    Returns (T_best, cd_best, T_ransac, cd_ransac, sym_success) — the same
+    5-tuple as ``sym_pose`` (``utils/symmetry.py:262-358``), fully jitted.
+    Thin B=1 wrapper over :func:`sym_pose_batch` (same math, same draws).
+    """
+    cuts = None
+    if cad_cut is not None:
+        cuts = (cad_cut[0][None], cad_cut[1][None])
+    out = sym_pose_batch(
+        key[None], baseF[None], xyz0[None], v0[None],
+        posF[None], xyz1[None], v1[None], config, chunk, cad_cuts=cuts,
+    )
+    return tuple(a[0] for a in out)
