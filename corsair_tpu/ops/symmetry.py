@@ -106,6 +106,31 @@ class SymPoseConfig:
         )
 
 
+def _topk_smallest(d2, k: int, chunk: int = 2048):
+    """Indices + values of the k smallest entries per row of ``d2``.
+
+    Exact two-stage top-k: ``lax.top_k`` lowers to a full row sort, so
+    top-50 of 16384 pays a 16k-wide bitonic per row; top-k per
+    ``chunk``-wide slice then top-k of the per-slice winners returns
+    the identical set (every true top-k element is a top-k element of
+    its slice) and measured 8.1 vs 10.7 ms at [800, 16384] on chip.
+    Ties may resolve to different indices than the single-stage form
+    (callers here only consume the SET: window membership + validity).
+    """
+    n = d2.shape[-1]
+    if n % chunk == 0 and n > 2 * chunk:
+        nc = n // chunk
+        v1, i1 = jax.lax.top_k(-d2.reshape(-1, nc, chunk), k)
+        gidx = (i1 + (jnp.arange(nc) * chunk)[None, :, None]).reshape(
+            -1, nc * k)
+        v2, i2 = jax.lax.top_k(v1.reshape(-1, nc * k), k)
+        idx = jnp.take_along_axis(gidx, i2, axis=1)
+        return (idx.reshape(d2.shape[:-1] + (k,)),
+                (-v2).reshape(d2.shape[:-1] + (k,)))
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx, jnp.take_along_axis(d2, idx, axis=-1)
+
+
 def shift_permutations(num_sectors: int) -> np.ndarray:
     """``[S, K]``: target sector for each source sector under shift s.
 
@@ -174,8 +199,7 @@ def symmetric_cut(key, feat, xyz, valid, config: SymPoseConfig):
                         precision=jax.lax.Precision.HIGHEST)
     )                                                       # [M, N]
     d2_all = jnp.where(valid[None, :], d2_all, _BIG)
-    _, nn_idx_all = jax.lax.top_k(-d2_all, W)               # [M, W]
-    nn_d2_all = jnp.take_along_axis(d2_all, nn_idx_all, axis=1)
+    nn_idx_all, nn_d2_all = _topk_smallest(d2_all, W)       # [M, W]
 
     # Candidate Lloyd fits run as a plain vmap over kmeans_lloyd: the
     # lane-major batched form (kmeans_lloyd_fits, fits in the minor

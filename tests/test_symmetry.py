@@ -12,6 +12,7 @@ from corsair_tpu.ops.ransac import RansacConfig
 from corsair_tpu.ops.symmetry import (
     SymPoseConfig,
     shift_permutations,
+    _topk_smallest,
     sym_pose,
     symmetric_cut,
 )
@@ -89,6 +90,36 @@ class TestFindKcorr:
             ref = np.argsort(dm, axis=1)[:, :2]
             sec_rows = np.nonzero(sector1 == s)[0]
             np.testing.assert_array_equal(idx[:, s, :], sec_rows[ref])
+
+
+class TestTopkSmallest:
+    """The cut's two-stage exact top-k must return the single-stage
+    set (chunked path triggers at n % 2048 == 0, n > 4096)."""
+
+    def test_matches_direct_set(self, rng):
+        import jax.numpy as jnp
+        import jax
+
+        d2 = jnp.asarray(rng.rand(7, 8192).astype(np.float32))
+        idx2, val2 = _topk_smallest(d2, 50)
+        _, idx1 = jax.lax.top_k(-d2, 50)
+        val1 = jnp.take_along_axis(d2, idx1, axis=-1)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx2), axis=-1),
+            np.sort(np.asarray(idx1), axis=-1),
+        )
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(val2), axis=-1),
+            np.sort(np.asarray(val1), axis=-1),
+        )
+
+    def test_small_n_direct_path(self, rng):
+        import jax.numpy as jnp
+
+        d2 = jnp.asarray(rng.rand(3, 512).astype(np.float32))
+        idx, val = _topk_smallest(d2, 5)
+        ref = np.sort(np.asarray(d2), axis=-1)[:, :5]
+        np.testing.assert_allclose(np.sort(np.asarray(val), -1), ref)
 
 
 class TestSymmetricCut:
