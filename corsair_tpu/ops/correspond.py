@@ -84,7 +84,12 @@ import os as _os
 _SLAB_KNN_ENV = _os.environ.get("CORSAIR_SLAB_KNN", "1") == "1"
 _SLAB_ALPHA_ENV = float(_os.environ.get("CORSAIR_SLAB_ALPHA", "1.5"))
 _SLAB_TILE_ENV = int(_os.environ.get("CORSAIR_SLAB_TILE", "128"))
-_MERGED_KNN_ENV = _os.environ.get("CORSAIR_MERGED_KNN", "0") == "1"
+# Merged-global default ON (r4 session 3): the global top-k is merged
+# from the sector-slab winners instead of re-scanning the full-width
+# global span — once the corr-build and cut costs around it shrank, the
+# isolated ~7% kernel win became visible at protocol scale too
+# (register_s 2.68/2.72 vs 2.72/2.78 s / 128 across repeated A/Bs).
+_MERGED_KNN_ENV = _os.environ.get("CORSAIR_MERGED_KNN", "1") == "1"
 _SORTED_KNN_ENV = _os.environ.get("CORSAIR_SORTED_KNN", "0") == "1"
 
 
