@@ -22,13 +22,24 @@ point budget, ``datasets/Reader.py:35-38``):
 Everything stays on device in the per-cloud padded layout between
 extraction and registration.
 
-Baseline: the reference (CUDA GPU, Open3D RANSAC + sklearn KMeans on
-host) publishes no throughput numbers (BASELINE.md); profiling its
-pipeline structure (9 sequential RANSACs + ~200 sequential 10-restart
-KMeans fits per query, single query at a time) puts it at ~1 query/sec
-on a modern GPU+CPU. vs_baseline is measured against that 1.0
-pclouds/sec ESTIMATE (not a measurement) — see BASELINE.json north star
-(>= 10x).
+Baseline: the reference publishes no throughput numbers. Its deployed
+registration path, however, is HOST code that runs on this machine
+unmodified (scipy-KDTree kNN, the 100-fit sklearn-KMeans symmetric
+cuts, KDTree Chamfer) — ``scripts/measure_reference_baseline.py`` times
+those functions imported from ``/root/reference`` at protocol scale and
+records ``logs/reference_baseline.json`` (also summarized in
+BASELINE.md §Measured). The conservative derivation used here
+(``derive_denominator``): take the FASTEST measured config, grant the
+reference a hypothetical 64-core host (perfect scaling on every KDTree
+stage, 2x on the inherently-sequential KMeans cut loop — this host has
+1 core, so raw timings would overstate our advantage), and zero-cost
+everything not measurable in this env (the 9 Open3D RANSACs/query,
+MinkowskiEngine feature extraction, retrieval). Every term inflates the
+reference's throughput, so the denominator is an UPPER bound on the
+reference and ``vs_baseline`` a LOWER bound.
+``vs_baseline_is_estimate`` stays True because the denominator is
+measured-host + model, not an end-to-end reference run on its original
+GPU.
 """
 
 import json
@@ -79,7 +90,24 @@ if _CPU_FALLBACK:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.setdefault("CORSAIR_BENCH_TINY", "1")
 
-REFERENCE_BASELINE_PCLOUDS_PER_SEC = 1.0
+# Derived reference-throughput upper bound (measured host stages under
+# a generous 64-core model, RANSAC/extraction zero-costed — see
+# scripts/measure_reference_baseline.py::derive_denominator and
+# BASELINE.md §Measured). Fallback if the artifact is missing.
+REFERENCE_BASELINE_PCLOUDS_PER_SEC = 1.156
+
+
+def _measured_reference_baseline() -> float:
+    """Prefer the committed measurement artifact when present (keeps the
+    denominator sourced to the measurement, not a stale constant)."""
+    path = os.path.join(os.path.dirname(__file__), "logs",
+                        "reference_baseline.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return float(data["derived_denominator_pclouds_per_sec"])
+    except (OSError, ValueError, KeyError):
+        return REFERENCE_BASELINE_PCLOUDS_PER_SEC
 
 # v5e peaks (public spec): 197 TFLOP/s bf16 matmul (f32 operands run as
 # multi-pass bf16 on the MXU at a fraction of this — MFU below is vs the
@@ -478,12 +506,17 @@ def main():
         "metric": f"pclouds/sec (feat+retrieval+sym-RANSAC, {scale})",
         "value": round(value, 3),
         "unit": "pclouds/sec",
-        # The denominator is the ~1 pcloud/sec ESTIMATE documented
-        # above, not a measured reference run — named accordingly.
+        # Denominator: measured-host reference upper bound (module
+        # docstring; logs/reference_baseline.json; BASELINE.md
+        # §Measured). Still flagged estimate: RANSAC/extraction are
+        # zero-costed, conservatively inflating the reference.
         "vs_baseline": round(
-            value / REFERENCE_BASELINE_PCLOUDS_PER_SEC, 3
+            value / _measured_reference_baseline(), 3
         ),
         "vs_baseline_is_estimate": True,
+        "vs_baseline_source": ("measured-host upper bound, "
+                               "logs/reference_baseline.json "
+                               "(BASELINE.md §Measured)"),
         "platform": ("cpu-fallback" if _CPU_FALLBACK
                      else jax.devices()[0].platform),
         # Machine-detectable fallback marker (VERDICT r3 #8): a

@@ -26,6 +26,9 @@ import jax.numpy as jnp
 import os as _os
 _KNN_PRECISION_ENV = _os.environ.get("CORSAIR_KNN_PRECISION", "packed")
 _KNN_BITPACK_ENV = _os.environ.get("CORSAIR_KNN_BITPACK", "1") == "1"
+# Sub-k-pass top-k extraction in the merged slab kernel (see
+# _subk_topk). Read once at import like the other CORSAIR_KNN_* knobs.
+_SUBK_ENV = _os.environ.get("CORSAIR_SUBK_KNN", "0") == "1"
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -516,9 +519,49 @@ def _kernel_slab(num_sectors, k, n_global, wp, packed, f0_ref, f1t_ref,
                 ds = jnp.where(col_ids == idx[:, None], _BIG, ds)
 
 
-def _kernel_slab_merged(num_sectors, k, wp, wo, packed,
+def _subk_topk(key, k, t, imax):
+    """Sub-k-pass top-k of a packed-key span (NOTES r4s4 lever).
+
+    The exact extraction pays 2k full-width VPU passes (k min + k
+    mask-update). Here: (1) one sweep builds per-bucket minima over
+    ~w/16-wide strided buckets (nb lanes, c sublane steps), (2) a second
+    sweep takes each bucket's SECOND minimum, (3) the 2k extraction
+    passes run on the [T, 2*nb] candidates (1/8th the width), (4) ONE
+    full-width count pass verifies exactness per row: with unique keys,
+    rank(k-th candidate) == k iff the candidates contain the true top-k
+    (a bucket holding >=3 of the top-k — P ~ C(k,3)/nb^2 per row — makes
+    the k-th candidate rank deeper, which the count catches). Returns
+    (winners list [k] of [T], all_exact scalar bool); on a failed
+    verify the CALLER must overwrite with the exact loop (pl.when).
+    ~5.5 full-pass equivalents instead of 2k."""
+    w = key.shape[1]
+    nb = _round_up(max(w // 16, 128), 128)
+    c = (w + nb - 1) // nb
+    if c * nb != w:
+        key_p = jnp.concatenate(
+            [key, jnp.full((t, c * nb - w), imax, jnp.int32)], axis=1
+        )
+    else:
+        key_p = key
+    kr = key_p.reshape(t, c, nb)
+    b1 = jnp.min(kr, axis=1)                               # [T, nb]
+    b2 = jnp.min(jnp.where(kr == b1[:, None, :], imax, kr), axis=1)
+    cand = jnp.concatenate([b1, b2], axis=1)               # [T, 2nb]
+    winners = []
+    for _ in range(k):
+        mk = jnp.min(cand, axis=1)
+        winners.append(mk)
+        cand = jnp.where(cand == mk[:, None], imax, cand)
+    n_below = jnp.sum(
+        (key <= winners[-1][:, None]).astype(jnp.int32), axis=1
+    )
+    return winners, jnp.all(n_below == k)
+
+
+def _kernel_slab_merged(num_sectors, k, wp, wo, packed, subk,
                         f0_ref, f1t_ref, f1sq_ref, vmask_ref, scale_ref,
-                        flag_ref, idx_ref, ok_ref, ovk_ref, ovi_ref):
+                        flag_ref, idx_ref, ok_ref, ovk_ref, ovi_ref,
+                        entk_ref=None, enti_ref=None):
     """Sector slabs + guarded overflow slab; global top-k BY MERGE.
 
     The full-width global scan was ~40% of `_kernel_slab`'s extraction
@@ -566,15 +609,45 @@ def _kernel_slab_merged(num_sectors, k, wp, wo, packed,
     for s in range(S):
         lo = s * wp
         key, cnt = span_d2(lo, wp)
-        for j in range(k):
-            mk = jnp.min(key, axis=1)
-            ent_key.append(mk)
-            ent_idx.append(jnp.minimum(mk & 0x3FFF, wp - 1) + lo)
-            idx_ref[:, 1 + s, j] = ent_idx[-1]
-            ok_ref[:, 1 + s, j] = jnp.broadcast_to(
-                (cnt > j).astype(jnp.int32), (t,)
-            )
-            key = jnp.where(key == mk[:, None], imax, key)
+        if subk:
+            # Candidate extraction with a count-verify; the rare failed
+            # tile (quantized near-tie pileups, or a span with < k valid
+            # targets) overwrites with the exact loop under pl.when.
+            winners, exact = _subk_topk(key, k, t, imax)
+            for j in range(k):
+                entk_ref[:, s * k + j] = winners[j]
+                enti_ref[:, s * k + j] = (
+                    jnp.minimum(winners[j] & 0x3FFF, wp - 1) + lo
+                )
+
+            @pl.when(jnp.logical_not(exact))
+            def _(key=key, s=s, lo=lo):
+                kk = key
+                for j in range(k):
+                    mk = jnp.min(kk, axis=1)
+                    entk_ref[:, s * k + j] = mk
+                    enti_ref[:, s * k + j] = (
+                        jnp.minimum(mk & 0x3FFF, wp - 1) + lo
+                    )
+                    kk = jnp.where(kk == mk[:, None], imax, kk)
+
+            for j in range(k):
+                ent_key.append(entk_ref[:, s * k + j])
+                ent_idx.append(enti_ref[:, s * k + j])
+                idx_ref[:, 1 + s, j] = ent_idx[-1]
+                ok_ref[:, 1 + s, j] = jnp.broadcast_to(
+                    (cnt > j).astype(jnp.int32), (t,)
+                )
+        else:
+            for j in range(k):
+                mk = jnp.min(key, axis=1)
+                ent_key.append(mk)
+                ent_idx.append(jnp.minimum(mk & 0x3FFF, wp - 1) + lo)
+                idx_ref[:, 1 + s, j] = ent_idx[-1]
+                ok_ref[:, 1 + s, j] = jnp.broadcast_to(
+                    (cnt > j).astype(jnp.int32), (t,)
+                )
+                key = jnp.where(key == mk[:, None], imax, key)
 
     # overflow slab: runs only when a sector spilled (per-cloud scalar)
     ovk_ref[:] = jnp.full((t, k), imax, jnp.int32)
@@ -621,11 +694,12 @@ def _round_up(x, m):
 
 
 @partial(jax.jit, static_argnames=("num_sectors", "k", "tile", "alpha",
-                                   "interpret"))
+                                   "interpret", "subk"))
 def merged_slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int,
                                   k: int, v1=None, tile: int = 128,
                                   alpha: float = 1.5,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  subk=None):
     """`slab_sector_knn_pallas` contract with the global slot computed
     by MERGING the sector/overflow slab winners instead of a full-width
     scan (see `_kernel_slab_merged`). Valid targets that exceed their
@@ -701,8 +775,19 @@ def merged_slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int,
         params = pltpu.CompilerParams(
             vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
         )
+    if subk is None:
+        subk = _SUBK_ENV
+    scratch = [
+        pltpu.VMEM((tile, k), jnp.int32),
+        pltpu.VMEM((tile, k), jnp.int32),
+    ]
+    if subk:
+        scratch += [
+            pltpu.VMEM((tile, S * k), jnp.int32),
+            pltpu.VMEM((tile, S * k), jnp.int32),
+        ]
     idx, ok = pl.pallas_call(
-        partial(_kernel_slab_merged, S, k, wp, wo, packed),
+        partial(_kernel_slab_merged, S, k, wp, wo, packed, subk),
         compiler_params=params,
         grid=(n_tiles,),
         in_specs=[
@@ -729,10 +814,7 @@ def merged_slab_sector_knn_pallas(F0, F1, sector1, num_sectors: int,
             jax.ShapeDtypeStruct((n0 + pad0, S + 1, k), jnp.int32),
             jax.ShapeDtypeStruct((n0 + pad0, S + 1, k), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tile, k), jnp.int32),
-            pltpu.VMEM((tile, k), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(f0, f1t, f1sq, vmask[None, :], scale, flag)
     idx, ok = idx[:n0], ok[:n0]

@@ -22,20 +22,24 @@ _BIG = np.float32(1e30)  # np scalar: no device array at import
 
 
 def _use_pallas(n1: int) -> bool:
+    from corsair_tpu.core import interpret_mode
+
     try:
         backend = jax.default_backend()
     except RuntimeError:
         return False
-    return backend != "cpu" and n1 <= 16384
+    return (backend != "cpu" or interpret_mode.forced()) and n1 <= 16384
 
 
 def _min_nn_dists(pc0, pc1, v0, v1, chunk):
     """Per-point nearest-neighbor distance from pc0 into pc1. ``[N]``"""
     n = pc0.shape[0]
     if _use_pallas(pc1.shape[0]):
+        from corsair_tpu.core import interpret_mode
         from corsair_tpu.core.kernels.sector_knn import min_dist_pallas
 
-        d = min_dist_pallas(pc0, pc1, v1=v1)
+        d = min_dist_pallas(pc0, pc1, v1=v1,
+                            interpret=interpret_mode.interpret_flag())
         if v0 is not None:
             d = jnp.where(v0, d, 0.0)
         return d

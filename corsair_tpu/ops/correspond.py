@@ -27,10 +27,12 @@ def find_kcorr(F0, F1, k: int, v0=None, v1=None, chunk: int = 1024):
     """
     n0 = F0.shape[0]
     if _use_pallas_sector_knn(F1.shape[0]):
+        from corsair_tpu.core import interpret_mode
         from corsair_tpu.core.kernels.sector_knn import sector_knn_pallas
 
         sector1 = jnp.zeros((F1.shape[0],), jnp.int32)
-        idx, _ = sector_knn_pallas(F0, F1, sector1, 1, k, v1=v1)
+        idx, _ = sector_knn_pallas(F0, F1, sector1, 1, k, v1=v1,
+                                   interpret=interpret_mode.interpret_flag())
         idx1 = idx[:, 0, :]                              # [N0, k]
     else:
         idx1 = _find_kcorr_xla(F0, F1, k, v1, chunk)
@@ -91,15 +93,24 @@ _SLAB_TILE_ENV = int(_os.environ.get("CORSAIR_SLAB_TILE", "128"))
 # (register_s 2.68/2.72 vs 2.72/2.78 s / 128 across repeated A/Bs).
 _MERGED_KNN_ENV = _os.environ.get("CORSAIR_MERGED_KNN", "1") == "1"
 _SORTED_KNN_ENV = _os.environ.get("CORSAIR_SORTED_KNN", "0") == "1"
+# Minimum target count for the slab layouts (measured: the slab win
+# shows at protocol caps, not toy sizes). The multichip dryrun lowers
+# this (module attribute, before its first trace) so the merged-global
+# DEFAULT kernel is certified at CPU-tractable capacities.
+_SLAB_MIN_N1 = int(_os.environ.get("CORSAIR_SLAB_MIN_N1", "4096"))
 
 
 def _use_pallas_sector_knn(n1: int) -> bool:
-    """Pallas fast path: TPU backend and a distance tile that fits VMEM."""
+    """Pallas fast path: accelerator backend (or interpret mode forced —
+    the multichip dryrun certifying the deployed kernels on CPU) and a
+    distance tile that fits VMEM."""
+    from corsair_tpu.core import interpret_mode
+
     try:
         backend = jax.default_backend()
     except RuntimeError:
         return False
-    return backend != "cpu" and n1 <= 16384
+    return (backend != "cpu" or interpret_mode.forced()) and n1 <= 16384
 
 
 def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
@@ -117,12 +128,15 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
     the other paths always return False). The global slot is exact
     either way; callers must treat spill like a failed symmetric cut
     (see ``slab_sector_knn_pallas``)."""
+    from corsair_tpu.core import interpret_mode
+
     if use_pallas is None:
         use_pallas = _use_pallas_sector_knn(F1.shape[0])
     if use_pallas:
+        interp = interpret_mode.interpret_flag()
         tile = 64 if F1.shape[0] <= 8192 else 32
         if (include_global and num_sectors > 1
-                and F1.shape[0] >= 4096
+                and F1.shape[0] >= _SLAB_MIN_N1
                 and _SLAB_KNN_ENV):
             # Slab-layout kernel: full-width global region + equal-width
             # sector slabs. Measured on v5e at [8, 16384], K=4, k=5 with
@@ -158,16 +172,16 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
 
                 idx, ok, spill = merged_slab_sector_knn_pallas(
                     F0, F1, sector1, num_sectors, k, v1=v1,
-                    tile=slab_tile, alpha=alpha,
+                    tile=slab_tile, alpha=alpha, interpret=interp,
                 )
                 return idx, ok, spill
             idx, ok, spill = slab_sector_knn_pallas(
                 F0, F1, sector1, num_sectors, k, v1=v1, tile=slab_tile,
-                alpha=alpha,
+                alpha=alpha, interpret=interp,
             )
             return idx, ok, spill
         if (not include_global and num_sectors > 1
-                and F1.shape[0] >= 4096
+                and F1.shape[0] >= _SLAB_MIN_N1
                 and _SORTED_KNN_ENV):
             # Sector-sorted chunk-skipping kernel (CORSAIR_SORTED_KNN=1,
             # measured LOSER): group targets by sector so each sector's
@@ -191,7 +205,7 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
             )
             idx_s, ok = sector_knn_sorted_pallas(
                 F0, F1[order], key_sec[order], num_sectors, k,
-                v1_sorted=v1b[order], tile=tile,
+                v1_sorted=v1b[order], tile=tile, interpret=interp,
             )
             if return_spill:
                 return order[idx_s], ok, jnp.zeros((), bool)
@@ -200,7 +214,7 @@ def find_kcorr_per_sector(F0, F1, sector1, num_sectors: int, k: int,
 
         idx, ok = sector_knn_pallas(
             F0, F1, sector1, num_sectors, k, v1=v1, tile=tile,
-            include_global=include_global,
+            include_global=include_global, interpret=interp,
         )
     else:
         idx, ok = _find_kcorr_per_sector_xla(

@@ -97,10 +97,14 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
 
     n_final = min(config.finalists_per_chunk, chunk)
 
+    from corsair_tpu.core import interpret_mode
+
     try:
-        use_pallas = jax.default_backend() != "cpu"
+        use_pallas = (jax.default_backend() != "cpu"
+                      or interpret_mode.forced())
     except RuntimeError:
         use_pallas = False
+    interp = interpret_mode.interpret_flag() if use_pallas else False
 
     # One wide-row gather (src|dst|valid packed, 28-byte rows) instead
     # of three 12/4-byte row gathers — see ransac_correspondences_multi.
@@ -121,7 +125,8 @@ def ransac_correspondences(key, src, dst, valid, config: RansacConfig):
             )
 
             counts, sses = ransac_score_pallas(
-                Ts, src_sub, dst_sub, valid_sub, config.max_corr_dist
+                Ts, src_sub, dst_sub, valid_sub, config.max_corr_dist,
+                interpret=interp,
             )
         else:
             counts, sses = jax.vmap(
@@ -220,8 +225,11 @@ def ransac_correspondences_multi(key, src, dsts, valids,
     dst_subs = dsts[:, sub_idx]
     valid_subs = valids[:, sub_idx]
 
+    from corsair_tpu.core import interpret_mode
+
     try:
-        use_pallas = jax.default_backend() != "cpu"
+        use_pallas = (jax.default_backend() != "cpu"
+                      or interpret_mode.forced())
     except RuntimeError:
         use_pallas = False
     if use_pallas:
@@ -230,7 +238,8 @@ def ransac_correspondences_multi(key, src, dsts, valids,
         )
 
         counts, sses = ransac_score_matmul_pallas(
-            Ts, src_sub, dst_subs, valid_subs, config.max_corr_dist
+            Ts, src_sub, dst_subs, valid_subs, config.max_corr_dist,
+            interpret=interpret_mode.interpret_flag(),
         )
     else:
         counts, sses = jax.vmap(

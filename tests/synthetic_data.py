@@ -39,9 +39,15 @@ def make_shape(rng, kind, n=400):
     return (pts + rng.randn(n, 3) * 0.01).astype(np.float64)
 
 
-def build_tree(root, n_cads=6, n_scans=4, n_points=400, seed=0):
+def build_tree(root, n_cads=6, n_scans=4, n_points=400, seed=0,
+               cd_table=True):
     """Returns dict of paths: shapenet_root, scan_root, annotation_root,
-    config_dir."""
+    config_dir.
+
+    ``cd_table=False`` skips the host KDTree pairwise-CD table (O(n^2)
+    host work — days at 652 CADs x 15k points on this 1-core box);
+    the caller regenerates it on device via ``cli.precompute``'s
+    ``chamfer_matrix`` path (scripts/evaluation_protocol_scale.py)."""
     rng = np.random.RandomState(seed)
     shapenet = os.path.join(root, "ShapeNetCore.v2.PC15k")
     scans = os.path.join(root, "Scan2CAD_pc")
@@ -112,27 +118,28 @@ def build_tree(root, n_cads=6, n_scans=4, n_points=400, seed=0):
     with open(os.path.join(configs, "scannet_omit.txt"), "w") as f:
         f.write("")
 
-    # CD table with diag 200 (configs convention): true bidirectional
-    # Chamfer between the normalized models, so positive/negative sampling
-    # behaves like the real pipeline
-    from scipy.spatial import cKDTree
+    if cd_table:
+        # CD table with diag 200 (configs convention): true bidirectional
+        # Chamfer between the normalized models, so positive/negative
+        # sampling behaves like the real pipeline
+        from scipy.spatial import cKDTree
 
-    def norm(pc):
-        pc = pc - pc.mean(0)
-        return pc / np.linalg.norm(pc, axis=1).max()
+        def norm(pc):
+            pc = pc - pc.mean(0)
+            return pc / np.linalg.norm(pc, axis=1).max()
 
-    npc = {m: norm(cad_pcs[m]) for m in model_ids}
-    table = np.zeros((n_cads, n_cads))
-    for i, mi in enumerate(model_ids):
-        for j, mj in enumerate(model_ids):
-            if i == j:
-                table[i, j] = 200.0
-                continue
-            a, b = npc[mi], npc[mj]
-            da, _ = cKDTree(b).query(a, k=1)
-            db, _ = cKDTree(a).query(b, k=1)
-            table[i, j] = da.mean() + db.mean()
-    np.save(os.path.join(configs, f"{CATID}_scan2cad.npy"), table)
+        npc = {m: norm(cad_pcs[m]) for m in model_ids}
+        table = np.zeros((n_cads, n_cads))
+        for i, mi in enumerate(model_ids):
+            for j, mj in enumerate(model_ids):
+                if i == j:
+                    table[i, j] = 200.0
+                    continue
+                a, b = npc[mi], npc[mj]
+                da, _ = cKDTree(b).query(a, k=1)
+                db, _ = cKDTree(a).query(b, k=1)
+                table[i, j] = da.mean() + db.mean()
+        np.save(os.path.join(configs, f"{CATID}_scan2cad.npy"), table)
 
     # sym labels
     with open(os.path.join(configs,

@@ -43,12 +43,24 @@ class TestMesh:
         coords = rng.randint(-5, 5, (B, cap, 3)).astype(np.int32)
         valid = np.ones((B, cap), bool)
         valid[:, 100:] = False
-        feats, desc = batched_extract(
+        feats, desc, ovf = batched_extract(
             ex, params, np.asarray(coords), np.asarray(valid), mesh
         )
         assert feats.shape == (B, cap, 16)
         assert desc.shape == (B, 256)
         assert np.isfinite(np.asarray(desc)).all()
+        assert not np.asarray(ovf).any()
+        # the mesh program IS extract_padded shard_mapped per device:
+        # descriptors must match the single-device program bitwise-close
+        feats1, desc1, _ = ex.extract_padded(
+            params, np.asarray(coords), np.asarray(valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(desc), np.asarray(desc1), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(feats), np.asarray(feats1), rtol=1e-5, atol=1e-6
+        )
 
     def test_registration_mesh_matches_unsharded(self, rng):
         from corsair_tpu.eval.registration import register_pairs

@@ -456,3 +456,67 @@ class TestSectorKnnSorted:
         assert ok[:, 1, :3].all() and not ok[:, 1, 3:].any()
         assert ok[:, 2, :2].all() and not ok[:, 2, 2:].any()
         assert not ok[:, 3, :].any()
+
+
+class TestSubkExtraction:
+    """Sub-k-pass candidate extraction in the merged slab kernel
+    (``_subk_topk``): bucketed top-2 candidates + count-verify with an
+    in-kernel exact fallback."""
+
+    def _check(self, rng, F0, F1, sec, v1, k=5):
+        from corsair_tpu.core.kernels.sector_knn import (
+            merged_slab_sector_knn_pallas,
+        )
+
+        args = (jnp.asarray(F0), jnp.asarray(F1), jnp.asarray(sec), 4, k)
+        kw = dict(v1=jnp.asarray(v1), tile=128, interpret=True)
+        idx_s, ok_s, sp_s = merged_slab_sector_knn_pallas(
+            *args, **kw, subk=True
+        )
+        idx_e, ok_e, sp_e = merged_slab_sector_knn_pallas(
+            *args, **kw, subk=False
+        )
+        np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_e))
+        assert bool(sp_s) == bool(sp_e)
+        # quantization-tolerant value parity (same class as the other
+        # merged tests: quasi-ties may reorder within the bit-pack tol)
+        d2 = ((F0[:, None, :] - F1[None, :, :]) ** 2).sum(-1)
+        rows = np.arange(len(F0))[:, None, None]
+        gap = np.abs(d2[rows, np.asarray(idx_s)]
+                     - d2[rows, np.asarray(idx_e)])
+        bound = (np.linalg.norm(F0, axis=1).max()
+                 + np.linalg.norm(F1, axis=1).max()) ** 2
+        ok = np.asarray(ok_e).astype(bool)
+        assert gap[ok].max() <= 2.5 * bound / 2**17
+
+    def test_subk_matches_exact(self, rng):
+        F0 = rng.randn(200, 16).astype(np.float32)
+        F1 = rng.randn(2048, 16).astype(np.float32)
+        F0 /= np.linalg.norm(F0, axis=1, keepdims=True)
+        F1 /= np.linalg.norm(F1, axis=1, keepdims=True)
+        sec = rng.randint(0, 4, 2048).astype(np.int32)
+        v1 = np.ones(2048, bool)
+        v1[2000:] = False
+        self._check(rng, F0, F1, sec, v1)
+
+    def test_subk_clustered_ties_fallback(self, rng):
+        """Tightly clustered features force quantized-key pileups (the
+        count-verify must trip and the exact fallback take over)."""
+        base = rng.randn(16).astype(np.float32)
+        F0 = base[None] + 0.01 * rng.randn(128, 16).astype(np.float32)
+        F1 = base[None] + 0.01 * rng.randn(1024, 16).astype(np.float32)
+        F0 /= np.linalg.norm(F0, axis=1, keepdims=True)
+        F1 /= np.linalg.norm(F1, axis=1, keepdims=True)
+        sec = rng.randint(0, 4, 1024).astype(np.int32)
+        self._check(rng, F0, F1, sec, np.ones(1024, bool))
+
+    def test_subk_sparse_sector(self, rng):
+        """A sector with fewer than k valid members trips the verify
+        (its k-th candidate is the sentinel) -> exact fallback; ok
+        flags unchanged."""
+        F0 = rng.randn(64, 16).astype(np.float32)
+        F1 = rng.randn(1024, 16).astype(np.float32)
+        sec = np.zeros(1024, np.int32)
+        sec[:3] = 1
+        sec[3:300] = rng.randint(2, 4, 297)
+        self._check(rng, F0, F1, sec, np.ones(1024, bool), k=5)
