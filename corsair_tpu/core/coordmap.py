@@ -39,6 +39,12 @@ from corsair_tpu.core.sparse import (
     unique_compact,
 )
 
+import os as _os
+
+# Read once at import (trace-time constant; flipping mid-process would
+# silently keep already-traced programs on the old variant).
+_UP_JOIN_ENV = _os.environ.get("CORSAIR_UP_JOIN", "1") == "1"
+
 
 def kernel_offsets(kernel_size: int = 3, ndim: int = 3) -> np.ndarray:
     """Integer kernel offsets, dim-0 fastest. ``[K, ndim]`` with K=k^ndim.
@@ -373,6 +379,7 @@ class CoordinateManager:
         compact_keys: bool = True,
         fast_merge: Optional[bool] = None,
         pallas_join: Optional[bool] = None,
+        up_join: Optional[bool] = None,
     ):
         self.num_levels = num_levels
         self.kernel_size = kernel_size
@@ -403,6 +410,18 @@ class CoordinateManager:
         # a virtual-mesh dryrun certifies the sharded program containing
         # the DEPLOYED kernel, not the jnp fallback (VERDICT r3 #4).
         self.pallas_join = pallas_join
+        # Up-table construction inside the merge path. The XLA scatter of
+        # ``adjoint_up_table`` was the r5 extraction profile's single
+        # largest op (17.3 of 113.6 ms/step at [16 x 16384]; the three
+        # level transitions total 25.7 ms — logs/extraction_roofline.
+        # json). Because ``down_table[k, :]`` is the inverse of a
+        # key-order-preserving shift, the up table is ITSELF a merge-
+        # join: table = coarse keys, queries = fine keys - o_k*t — the
+        # same Pallas merge kernel every other table uses, with
+        # identical hit/miss semantics (miss = coarse capacity). None
+        # resolves with the merge-join backend choice; False keeps the
+        # scatter (CORSAIR_UP_JOIN=0 opts back).
+        self.up_join = (_UP_JOIN_ENV if up_join is None else up_join)
 
     def build(self, grid: SparseGrid) -> UNetMaps:
         from corsair_tpu.core.sparse import COMPACT_MAX_BATCH
@@ -582,14 +601,23 @@ class CoordinateManager:
                 pt = per_level[lvl - 1]["stride"]
                 # Stride-2 conv: coarse output y gathers fine y + o*t_fine;
                 # transpose conv: fine output x gathers coarse x - o*t_fine
-                # (adjoint pairing, same kernel index) — derived from the
-                # down table by scatter instead of a join.
+                # (adjoint pairing, same kernel index).
                 down_table = join(lvl - 1, lvl, offs, pt)
-                up_table = adjoint_up_table(
-                    down_table,
-                    per_level[lvl - 1]["coords"].shape[0],
-                    entry["coords"].shape[0],
-                )
+                if self.up_join:
+                    # The up table is a merge-join in its own right:
+                    # table = this (coarse) level, queries = fine keys
+                    # shifted by -o_k*t — same kernel index k, exact
+                    # inverse of the down relation, identical miss value
+                    # (coarse capacity). Replaces the adjoint scatter,
+                    # the r5 profile's largest extraction op (17.3 ms of
+                    # 113.6 at L0->L1; logs/extraction_roofline.json).
+                    up_table = join(lvl, lvl - 1, -offs, pt)
+                else:
+                    up_table = adjoint_up_table(
+                        down_table,
+                        per_level[lvl - 1]["coords"].shape[0],
+                        entry["coords"].shape[0],
+                    )
             else:
                 down_table = None
                 up_table = None

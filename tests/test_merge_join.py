@@ -214,18 +214,19 @@ def test_pallas_merge_join_matches_jnp(rng):
 
 
 def test_adjoint_up_table_matches_join(rng):
-    """The scatter-derived transpose-conv table equals the direct join
-    on both manager paths (generic already uses it; compare against an
-    explicitly joined up table)."""
-    from corsair_tpu.core.coordmap import (
-        adjoint_up_table,
-        kernel_offsets,
-        neighbor_table,
-    )
+    """The two up-table constructions agree exactly on the deployed
+    (compact merge-join) build path: the direct merge-join of the
+    adjoint relation (up_join=True, the default since the r5 roofline
+    named the scatter the largest extraction op) vs the scatter-derived
+    inverse of the down table (up_join=False) — and both equal an
+    independently computed neighbor_table of the adjoint pairing."""
+    from corsair_tpu.core.coordmap import kernel_offsets, neighbor_table
 
     grid = _random_grid(rng, n_clouds=2, n_per=400, cap=1024)
-    mgr = CoordinateManager(level_cap_ratios=(1.0, 1.0, 1.0, 1.0))
-    maps = mgr.build(grid)
+    caps = (1.0, 1.0, 1.0, 1.0)
+    maps = CoordinateManager(level_cap_ratios=caps, up_join=True).build(grid)
+    maps_sc = CoordinateManager(level_cap_ratios=caps,
+                                up_join=False).build(grid)
     offs = kernel_offsets(3)
     for lvl in range(1, 4):
         fine = maps.levels[lvl - 1]
@@ -237,5 +238,9 @@ def test_adjoint_up_table_matches_join(rng):
         )
         np.testing.assert_array_equal(
             np.asarray(coarse.up_table), np.asarray(direct),
-            err_msg=f"level {lvl}",
+            err_msg=f"level {lvl} (join vs neighbor_table)",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(maps_sc.levels[lvl].up_table), np.asarray(direct),
+            err_msg=f"level {lvl} (scatter vs neighbor_table)",
         )
