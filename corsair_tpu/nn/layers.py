@@ -31,6 +31,15 @@ EPS_IN = 1e-5
 import os as _os
 
 _CONV_FOLD = _os.environ.get("CORSAIR_CONV_FOLD", "0") == "1"
+# A/B experiment knob (read once at import, like the resunet plan
+# knobs): skip the lax.cond banded/gather wrapper and call the banded
+# kernel directly. The post-up_join roofline attributes 41.7 ms/step
+# (30.9% of extraction device time) to the cond wrappers' data
+# movement (logs/extraction_roofline.json); this knob measures how
+# much of that an unconditional dispatch recovers. NOT a deployment
+# mode: if a batch's coverage check fails the output is NaN-poisoned
+# (loudly wrong) instead of falling back to the exact gather path.
+_BANDED_NOCOND = _os.environ.get("CORSAIR_BANDED_NOCOND", "0") == "1"
 
 
 def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
@@ -80,7 +89,14 @@ def sparse_conv(params, feats, table, compute_dtype=None, plan=None):
                 {"kernel": kernel}, f, table, compute_dtype
             )
 
-        out = jax.lax.cond(ok, banded, gather, feats)
+        if _BANDED_NOCOND:
+            out = banded(feats)
+            # Scalar poison: fuses into the epilogue (no extra pass);
+            # a failed coverage check surfaces as NaN, never as a
+            # silently-wrong feature map.
+            out = out * jnp.where(ok, 1.0, jnp.nan).astype(out.dtype)
+        else:
+            out = jax.lax.cond(ok, banded, gather, feats)
         if "bias" in params:
             out = out + params["bias"]
         return out

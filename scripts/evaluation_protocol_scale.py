@@ -28,7 +28,11 @@ import numpy as np
 from synthetic_data import CATID, build_tree
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_CADS, N_SCANS, N_POINTS = 652, 128, 15000
+# Protocol scale by default; env overrides allow a tiny CPU smoke before
+# burning a TPU window on an untested run.
+N_CADS = int(os.environ.get("PROTO_N_CADS", 652))
+N_SCANS = int(os.environ.get("PROTO_N_SCANS", 128))
+N_POINTS = int(os.environ.get("PROTO_N_POINTS", 15000))
 
 
 def device_cd_table(tree):
@@ -81,7 +85,9 @@ def verify_caches(cache_dir, n, logger):
             path = os.path.join(cache_dir, f"{name}_{sfx}.npy")
             assert os.path.exists(path), f"missing cache array {path}"
             arr = np.load(path)
-            want = (n, 4, 4) if name.startswith("Ts_est") else (n,)
+            # The reference flattens each 4x4 before np.save
+            # (evaluation.py:431-434); our cache keeps that layout.
+            want = (n, 16) if name.startswith("Ts_est") else (n,)
             assert arr.shape == want, (path, arr.shape, want)
     logger.log(f"cache layout verified: {len(files)} npy files, all 9 "
                f"reference arrays per suffix {sorted(suffixes)}")

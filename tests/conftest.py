@@ -10,9 +10,22 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
+    xla_flags = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in xla_flags:
+    # XLA:CPU kills the process when a collective rendezvous takes
+    # >40 s (rendezvous.cc termination watchdog). On this 1-core host
+    # the 8 virtual devices' participant threads time-share one core;
+    # any concurrent load (xdist peer, a background suite) can starve
+    # a participant past 40 s and SIGABRT an otherwise-correct test.
+    # Observed once on the full sharded training step (r5s4).
+    xla_flags = (
+        xla_flags
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+    ).strip()
+os.environ["XLA_FLAGS"] = xla_flags
 
 import jax
 

@@ -205,6 +205,34 @@ class TestBandedPipeline:
         for a, b in zip(fb, fg):
             np.testing.assert_allclose(a, b, atol=2e-5)
 
+    def test_banded_nocond_matches_cond(self, rng):
+        """CORSAIR_BANDED_NOCOND=1 (A/B experiment knob: unconditional
+        banded dispatch, no lax.cond wrapper) matches the deployed
+        cond path exactly when coverage holds, with no NaN poison.
+        Knob is import-time (advisor r3), so the test patches the
+        module constant it binds to."""
+        import jax
+
+        from corsair_tpu.nn import layers
+        from corsair_tpu.pipeline import ExtractorConfig, FeatureExtractor
+
+        clouds = self._clouds(rng)
+        ex_c = FeatureExtractor(ExtractorConfig(banded_band=512))
+        params = ex_c.init_params(jax.random.PRNGKey(1))
+        fc, dc = ex_c.extract_batch_np(params, clouds, capacity=1024)
+        monkeypatch_val = layers._BANDED_NOCOND
+        layers._BANDED_NOCOND = True
+        try:
+            ex_n = FeatureExtractor(ExtractorConfig(banded_band=512))
+            fn, dn = ex_n.extract_batch_np(params, clouds, capacity=1024)
+        finally:
+            layers._BANDED_NOCOND = monkeypatch_val
+        assert np.isfinite(dn).all()
+        np.testing.assert_allclose(dn, dc, atol=2e-5)
+        for a, b in zip(fn, fc):
+            assert np.isfinite(a).all()
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
     def test_banded_bf16_mode_close_to_f32(self, rng):
         """CORSAIR_BANDED_BF16=1 + compute_dtype=bfloat16 routes the
         banded selection to its single-plane bf16 mode
