@@ -50,6 +50,94 @@ def measured_ratios(coords_list, cap):
     return tuple(ratios)
 
 
+def classify(hlo: str) -> str:
+    """Map an HLO op line to a pipeline stage."""
+    if "banded_conv" in hlo:
+        return "banded-conv kernel (Pallas)"
+    if "merge_join" in hlo:
+        return "merge-join kernel (Pallas)"
+    if " sort(" in hlo:
+        return "map-build sort"
+    if "conditional(" in hlo:
+        return "conv banded/gather lax.cond wrapper"
+    if "copy-start" in hlo or "slice-start" in hlo:
+        return "async copy/slice (overlapped)"
+    if " fusion(" in hlo:
+        return "XLA fusion"
+    if " convolution(" in hlo or " dot(" in hlo:
+        return "dot/conv"
+    return hlo.split(" = ")[0].lstrip("%").rstrip("0123456789.")
+
+
+def parse_xplane(xplane: str, out: dict, steps: int = 3) -> dict:
+    """Device-time attribution from a captured xplane, with EXCLUSIVE
+    self-times (see the inline comment — trace events nest)."""
+    import collections
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    for p in xs.planes:
+        if "TPU" not in p.name:
+            continue
+        md = p.event_metadata
+        for line in p.lines:
+            if line.name not in ("XLA Ops", "XLA Modules"):
+                continue
+            if line.name == "XLA Modules":
+                total = sum(ev.duration_ps for ev in line.events)
+                out["device_module_ms_per_step"] = round(
+                    total / 1e12 * 1000 / max(len(line.events), 1), 1)
+                continue
+            # EXCLUSIVE self-times: an op trace event can CONTAIN its
+            # sub-ops on the same line (conditional/while/fusion spans
+            # cover the custom-calls and fusions executed inside them),
+            # so summing raw durations double-counts — the r5s3
+            # artifact's stage table summed to 135 ms against a 93.3 ms
+            # module for this reason. Subtract each event's directly-
+            # nested children via an interval stack (sort by start asc,
+            # end desc so parents precede their children).
+            evs = []
+            for ev in line.events:
+                hlo = (md[ev.metadata_id].name
+                       if ev.metadata_id in md else "?")
+                evs.append((ev.offset_ps,
+                            ev.offset_ps + ev.duration_ps,
+                            ev.duration_ps, hlo))
+            evs.sort(key=lambda e: (e[0], -e[1]))
+            tot = collections.Counter()
+            ops = collections.Counter()
+            total = 0
+            stack = []
+            self_ps = []
+            meta = []
+            for start, end, dur, hlo in evs:
+                while stack and evs[stack[-1]][1] <= start:
+                    stack.pop()
+                idx = len(self_ps)
+                self_ps.append(dur)
+                meta.append(hlo)
+                if stack:
+                    self_ps[stack[-1]] -= dur
+                stack.append(idx)
+            for dur, hlo in zip(self_ps, meta):
+                dur = max(dur, 0)
+                tot[classify(hlo)] += dur
+                ops[hlo[:140]] += dur
+                total += dur
+            out["stage_ms_per_step"] = [
+                {"stage": k, "ms": round(v / 1e12 * 1000 / steps, 2),
+                 "pct": round(100 * v / total, 1)}
+                for k, v in tot.most_common(12)]
+            out["top_ops_ms_per_step"] = [
+                {"op": k, "ms": round(v / 1e12 * 1000 / steps, 2)}
+                for k, v in ops.most_common(25)]
+    return out
+
+
 def main():
     import jax
 
@@ -98,63 +186,10 @@ def main():
     # profile converter is version-mismatched with its tensorflow);
     # needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python, set by the
     # re-exec guard at module bottom.
-    import collections
-
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    xs = xplane_pb2.XSpace()
-    with open(xplane, "rb") as f:
-        xs.ParseFromString(f.read())
-
     out = {"batch": B, "cap": CAP, "cold_s": round(cold, 2),
            "warm_ms_per_batch": round(warm * 1000, 1),
            "pclouds_per_sec_extraction_only": round(B / warm, 1)}
-
-    def classify(hlo: str) -> str:
-        """Map an HLO op line to a pipeline stage."""
-        if "banded_conv" in hlo:
-            return "banded-conv kernel (Pallas)"
-        if "merge_join" in hlo:
-            return "merge-join kernel (Pallas)"
-        if " sort(" in hlo:
-            return "map-build sort"
-        if "conditional(" in hlo:
-            return "conv banded/gather lax.cond wrapper"
-        if "copy-start" in hlo or "slice-start" in hlo:
-            return "async copy/slice (overlapped)"
-        if " fusion(" in hlo:
-            return "XLA fusion"
-        if " convolution(" in hlo or " dot(" in hlo:
-            return "dot/conv"
-        return hlo.split(" = ")[0].lstrip("%").rstrip("0123456789.")
-
-    for p in xs.planes:
-        if "TPU" not in p.name:
-            continue
-        md = p.event_metadata
-        for line in p.lines:
-            if line.name not in ("XLA Ops", "XLA Modules"):
-                continue
-            tot = collections.Counter()
-            ops = collections.Counter()
-            total = 0
-            for ev in line.events:
-                hlo = (md[ev.metadata_id].name
-                       if ev.metadata_id in md else "?")
-                tot[classify(hlo)] += ev.duration_ps
-                ops[hlo[:140]] += ev.duration_ps
-                total += ev.duration_ps
-            if line.name == "XLA Modules":
-                out["device_module_ms_per_step"] = round(
-                    total / 1e12 * 1000 / max(len(line.events), 1), 1)
-                continue
-            out["stage_ms_per_step"] = [
-                {"stage": k, "ms": round(v / 1e12 * 1000 / 3, 2),
-                 "pct": round(100 * v / total, 1)}
-                for k, v in tot.most_common(12)]
-            out["top_ops_ms_per_step"] = [
-                {"op": k, "ms": round(v / 1e12 * 1000 / 3, 2)}
-                for k, v in ops.most_common(25)]
+    parse_xplane(xplane, out, steps=3)
 
     path = os.path.join(REPO, "logs", "extraction_roofline.json")
     with open(path, "w") as f:
